@@ -1,0 +1,110 @@
+"""Unified configuration for simulations, control, and benchmarks.
+
+The reference scatters defaults across five argparse entry points with
+inconsistent values (`/root/reference/run_ddpg.py:27-61` dt=0.1,
+`/root/reference/run_ppo.py:39` dt=0.05, `/root/reference/run_sac.py:33-35,57`
+N=10000/N_mesh=500/max_mode=5). Here a single dataclass carries everything,
+with presets reproducing each script's defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Literal, Optional
+
+SimCase = Literal["two-stream", "bump-on-tail"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Physics + discretization parameters (reference argparse block,
+    `/root/reference/run_wo_oc.py:24-55`)."""
+
+    simcase: SimCase = "two-stream"
+    n_particles: int = 5000
+    n_mesh: int = 250
+    t_min: float = 0.0
+    t_max: float = 50.0
+    dt: float = 0.1
+    length: float = 50.0
+    n0: float = 1.0
+    vb: float = 3.0  # beam velocity
+    vth: float = 1.0  # thermal velocity (sigma)
+    perturb_amplitude: float = 0.1  # A
+    perturb_mode: int = 2  # n_mode
+    bump_a: float = 0.2  # bump-on-tail beam fraction parameter
+    interpol: Literal["cic", "tsc", "tsc_standard"] = "cic"
+    deposit_method: Literal["dense", "scatter"] = "dense"
+    integrator: Literal["yoshida4", "verlet", "symplectic_euler"] = "yoshida4"
+    seed: int = 42
+
+    @property
+    def dx(self) -> float:
+        return self.length / self.n_mesh
+
+    @property
+    def n_steps(self) -> int:
+        """Nt = ceil((tmax - tmin)/dt) (`/root/reference/src/env/pic.py:177`)."""
+        return int(math.ceil((self.t_max - self.t_min) / self.dt))
+
+    @property
+    def cfl_dt(self) -> float:
+        """CFL-like bound dt <= 2/sqrt(N/L) (`/root/reference/src/env/pic.py:71-73`)."""
+        return 2.0 / math.sqrt(self.n_particles / self.length)
+
+    def clamped_dt(self) -> float:
+        return min(self.dt, self.cfl_dt)
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlConfig:
+    """Actuator + cost parameters (`/root/reference/run_ddpg.py:56-61`)."""
+
+    max_mode: int = 3
+    coeff_min: float = -1.0
+    coeff_max: float = 1.0
+    # Reward weights (`/root/reference/src/control/rl/reward.py:27-33`)
+    alpha: float = 1.0
+    beta: float = 1.0
+    reward_n_mesh: int = 500
+    vmin: float = -25.0
+    vmax: float = 25.0
+    # Reference quirk: actuator mesh uses np.linspace(0, L, M) *including* the
+    # endpoint (`/root/reference/src/control/actuator.py:13`), which is not the
+    # PIC cell-edge grid. True keeps parity; False uses the correct grid.
+    endpoint_grid: bool = True
+
+    @property
+    def n_actions(self) -> int:
+        return 2 * self.max_mode
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Receding-horizon sampling MPC (new capability; BASELINE.json north star)."""
+
+    horizon: int = 10  # planning horizon in env steps
+    n_candidates: int = 512  # sampled control sequences per solve
+    n_elites: int = 64  # CEM elite set
+    n_iters: int = 2  # CEM refinement iterations per solve
+    sigma0: float = 0.3  # initial sampling stddev
+    temperature: float = 0.05  # MPPI softmax temperature
+    w_field: float = 1.0  # field-energy cost weight
+    w_input: float = 0.05  # control-effort cost weight
+    algo: Literal["mppi", "cem"] = "mppi"
+
+
+def preset(name: str, **overrides) -> SimConfig:
+    """Named presets matching the reference scripts' defaults."""
+    base = {
+        "wo-oc": SimConfig(),
+        "feedback": SimConfig(),
+        "ddpg": SimConfig(),  # run_ddpg.py:27-61
+        "ppo": SimConfig(dt=0.05),  # run_ppo.py:39
+        "sac": SimConfig(n_particles=10000, n_mesh=500),  # run_sac.py:33-35
+        "bench-small": SimConfig(n_particles=10000, n_mesh=64),  # BASELINE config 1
+        "bench-host": SimConfig(n_particles=100000, n_mesh=256),  # BASELINE config 4
+        "bench-multihost": SimConfig(n_particles=1_000_000, n_mesh=256),  # config 5
+    }[name]
+    return dataclasses.replace(base, **overrides) if overrides else base

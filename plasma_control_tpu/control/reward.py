@@ -1,0 +1,92 @@
+"""Reward / cost computation for controllers.
+
+Capability parity with class ``Reward``
+(`/root/reference/src/control/rl/reward.py:5-76`): stores the equilibrium
+f_eq captured from the initial state, exposes the three cost terms
+(KL divergence, field energy, input energy), the training reward
+``alpha*max(1 - PE/r_pe_n, 0) + beta*max(1 - IE/r_ie_n, 0)`` and the unused
+tanh-shaped variants. All math is jittable.
+
+Reference quirk preserved: ``compute_reward``'s second argument is *named*
+``E_external`` but every caller passes the coefficient vector (DDPG/PPO,
+`ddpg.py:455`, `ppo.py:340`) or the mesh field (SAC, `sac.py:361`) — the
+input-energy term just squares whatever it gets. Here the argument is named
+``action`` and documented.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .objective import estimate_electric_energy, estimate_f, estimate_kl_divergence
+
+__all__ = ["Reward"]
+
+
+class Reward:
+    def __init__(
+        self,
+        init_state: jax.Array,
+        n_mesh: int = 500,
+        length: float = 50.0,
+        vmin: float = -25.0,
+        vmax: float = 25.0,
+        n0: float = 1.0,
+        alpha: float = 1.0,
+        beta: float = 1.0,
+        n_actions: int = 10,
+    ):
+        self.init_state = init_state
+        self.n_mesh = n_mesh
+        self.length = float(length)
+        self.vmin = vmin
+        self.vmax = vmax
+        self.n0 = n0
+        self.alpha = alpha
+        self.beta = beta
+        self.n_actions = n_actions
+
+        self.feq = estimate_f(init_state, n_mesh, self.length, vmin, vmax, n0)
+        # Normalizers (`reward.py:31-33`)
+        self.r_pe_n = 1.0
+        self.r_ie_n = float(self.compute_input_energy(jnp.ones(n_actions)))
+
+    def reinit(self):
+        self.feq = estimate_f(self.init_state, self.n_mesh, self.length, self.vmin, self.vmax, self.n0)
+
+    # -- cost terms --------------------------------------------------------
+    def compute_kl_divergence(self, state: jax.Array) -> jax.Array:
+        f = estimate_f(state, self.n_mesh, self.length, self.vmin, self.vmax, self.n0)
+        return estimate_kl_divergence(f, self.feq, self.length / self.n_mesh, (self.vmax - self.vmin) / self.n_mesh)
+
+    def compute_electric_energy(self, state: jax.Array, e_external: Optional[jax.Array] = None) -> jax.Array:
+        return estimate_electric_energy(state.reshape(-1), e_external, self.n_mesh, self.length, self.n0)
+
+    def compute_input_energy(self, actions: jax.Array) -> jax.Array:
+        return jnp.sum(actions**2) * self.length * 0.25
+
+    def compute_cost(self, state: jax.Array, action: jax.Array):
+        return (
+            self.compute_kl_divergence(state),
+            self.compute_electric_energy(state),
+            self.compute_input_energy(action),
+        )
+
+    # -- shaped rewards (unused alternates, `reward.py:62-69`) -------------
+    def compute_reward_kl_divergence(self, state):
+        return jnp.tanh(1.0 - jnp.sqrt(self.compute_kl_divergence(state) / 25.0))
+
+    def compute_reward_electric_energy(self, state, e_external=None):
+        return jnp.tanh(1.0 - jnp.sqrt(self.compute_electric_energy(state, e_external) / 10.0))
+
+    def compute_reward_input_energy(self, action):
+        return jnp.tanh(1.0 - jnp.sqrt(self.compute_input_energy(action) / 50.0))
+
+    # -- training reward (`reward.py:71-76`) -------------------------------
+    def compute_reward(self, state: jax.Array, action: jax.Array) -> jax.Array:
+        r_pe = jnp.maximum(1.0 - self.compute_electric_energy(state) / self.r_pe_n, 0.0)
+        r_ie = jnp.maximum(1.0 - self.compute_input_energy(action) / self.r_ie_n, 0.0)
+        return r_pe * self.alpha + r_ie * self.beta
