@@ -1,0 +1,146 @@
+"""Physics integration tests (SURVEY §4 level 2): instability growth,
+energy conservation, damping-rate diagnostics, trajectory parity vs oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plasma_control_tpu.config import SimConfig
+from plasma_control_tpu.models.pic import PIC, PlasmaState, init_state, step
+from plasma_control_tpu.models.rollout import rollout, snapshot_from_rollout
+from plasma_control_tpu.ops.grid import make_grid
+from plasma_control_tpu.diag.landau import damping_rate_from_field_energy
+
+import oracle
+
+
+def small_cfg(**kw):
+    base = dict(n_particles=2000, n_mesh=64, dt=0.1, t_max=15.0, length=50.0)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+class TestRollout:
+    def test_multistep_matches_oracle(self, rng):
+        """10 full steps agree with the float64 oracle before chaos amplifies
+        rounding differences."""
+        cfg = small_cfg()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        x64 = rng.uniform(0, cfg.length, cfg.n_particles)
+        v64 = rng.standard_normal(cfg.n_particles)
+
+        st = PlasmaState(jnp.asarray(x64, dtype=jnp.float32), jnp.asarray(v64, dtype=jnp.float32))
+        out = rollout(st, grid, cfg, n_steps=10, record_snapshots=True)
+
+        x, v = x64.copy(), v64.copy()
+        for _ in range(10):
+            x, v = oracle.yoshida4_step(x, v, cfg.length, cfg.n_mesh, cfg.n0, cfg.clamped_dt())
+        # positions modulo wrap: compare circular distance
+        dx = np.abs(np.asarray(out.final_state.x) - x)
+        dx = np.minimum(dx, cfg.length - dx)
+        assert np.percentile(dx, 99) < 5e-2
+        assert np.percentile(np.abs(np.asarray(out.final_state.v) - v), 99) < 5e-2
+
+    def test_rollout_shapes(self):
+        cfg = small_cfg(t_max=2.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        out = rollout(st, grid, cfg, record_snapshots=True)
+        t = cfg.n_steps
+        assert out.field_energy.shape == (t + 1,)
+        assert out.xs.shape == (t + 1, cfg.n_particles)
+        snap = snapshot_from_rollout(out)
+        assert snap.shape == (2 * cfg.n_particles, t + 1)
+
+    def test_pic_class_api(self):
+        """The stateful wrapper mirrors the reference class surface."""
+        cfg = small_cfg(t_max=1.0)
+        sim = PIC(cfg)
+        e0 = float(sim.get_energy())
+        sim.update_state(None)
+        sim.update_state(jnp.zeros(cfg.n_mesh))
+        sim.update_state_w_input_func(lambda x: jnp.zeros(cfg.n_mesh))
+        assert sim.get_state().shape == (2 * cfg.n_particles,)
+        snap, h, pe = sim.simulate(None)
+        assert snap.shape == (2 * cfg.n_particles, cfg.n_steps + 1)
+        assert np.isfinite(np.asarray(h)).all()
+        assert abs(float(h[0]) - e0) / abs(e0) < 0.2  # state advanced, same scale
+
+
+class TestTwoStreamInstability:
+    def test_field_energy_grows(self):
+        """The two-stream instability must amplify field energy by orders of
+        magnitude before saturation (reference verification: plot_log_E,
+        `/root/reference/src/plot.py:551-595`)."""
+        cfg = small_cfg(simcase="two-stream", t_max=20.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        st = init_state(cfg, jax.random.PRNGKey(42))
+        out = rollout(st, grid, cfg)
+        pe = np.asarray(out.field_energy)
+        assert np.isfinite(pe).all()
+        growth = pe[100:160].mean() / pe[:5].mean()
+        assert growth > 30.0, f"growth factor {growth}"
+
+    def test_growth_rate_positive(self):
+        cfg = small_cfg(simcase="two-stream", t_max=15.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        st = init_state(cfg, jax.random.PRNGKey(7))
+        out = rollout(st, grid, cfg)
+        ts = jnp.linspace(0.0, cfg.t_max, cfg.n_steps + 1)
+        gamma = float(damping_rate_from_field_energy(ts, out.field_energy))
+        assert gamma > 0.05, f"two-stream growth rate {gamma}"
+
+
+class TestEnergyConservation:
+    def test_hamiltonian_drift_bounded(self):
+        """Symplectic integration: relative H drift stays small over the
+        linear phase of the run."""
+        cfg = small_cfg(t_max=10.0, n_particles=4000)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        st = init_state(cfg, jax.random.PRNGKey(3))
+        out = rollout(st, grid, cfg)
+        h = np.asarray(out.hamiltonian)
+        drift = np.abs(h - h[0]).max() / abs(h[0])
+        assert drift < 0.05, f"relative energy drift {drift}"
+
+
+class TestDistributions:
+    def test_two_stream_moments(self):
+        from plasma_control_tpu.models.distributions import TwoStream
+
+        d = TwoStream(v0=3.0, sigma=1.0, n_samples=200_000, length=50.0)
+        x, v = d.sample(jax.random.PRNGKey(0))
+        v = np.asarray(v)
+        x = np.asarray(x)
+        assert 0 <= x.min() and x.max() <= 50.0
+        n_half = len(v) // 2
+        assert abs(v[:n_half].mean() - 3.0) < 0.02
+        assert abs(v[n_half:].mean() + 3.0) < 0.02
+        assert abs(v[:n_half].std() - 1.0) < 0.02
+
+    def test_bump_on_tail_moments(self):
+        from plasma_control_tpu.models.distributions import BumpOnTail
+
+        d = BumpOnTail(a=0.2, v0=4.0, sigma=0.5, n_samples=120_000, length=50.0)
+        x, v = d.sample(jax.random.PRNGKey(1))
+        v = np.asarray(v)
+        n1 = d.n_background
+        assert n1 == int(120_000 / 1.2)
+        assert abs(v[:n1].mean()) < 0.02
+        assert abs(v[n1:].mean() - 4.0) < 0.02
+        hi = np.asarray(d.high_indices())
+        assert hi[0] == n1 and hi[-1] == 120_000 - 1
+
+    def test_perturbation_applied(self):
+        from plasma_control_tpu.models.distributions import sample_initial_state
+
+        cfg = small_cfg(perturb_amplitude=0.5, perturb_mode=1)
+        x, v = sample_initial_state(cfg, jax.random.PRNGKey(0))
+        # With A=0.5 the velocity field is strongly modulated along x:
+        x = np.asarray(x)
+        v = np.asarray(v)
+        mod = np.sin(2 * np.pi * x / cfg.length)
+        # correlation between |v| modulation and sin(x) should be strong
+        c = np.corrcoef(np.abs(v), np.abs(1 + 0.5 * mod))[0, 1]
+        assert c > 0.1
