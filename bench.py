@@ -1,0 +1,154 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: full-horizon MPC solves/s on one chip (BASELINE.json config 3:
+bump-on-tail, 4 Fourier control modes, 512 sampled rollouts per solve,
+horizon 10, reference default workload N=5000 particles / 250 cells).
+
+``vs_baseline`` compares against a NumPy/CPU implementation of the *same*
+solve built from reference-style kernels (bincount deposition + dense operator
+matvec + Yoshida with 3 field evaluations per step), measured in-process —
+the reference itself publishes no numbers (BASELINE.md) and has no MPC, so
+this is the closest apples-to-apples CPU baseline.
+
+Details (push-throughput sub-benchmark, timings) go to BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _numpy_reference_step_rate(n_particles: int, n_mesh: int, length: float, dt: float, reps: int = 30) -> float:
+    """Steps/s of a reference-style NumPy PIC step (same math, CPU)."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, length, n_particles)
+    v = rng.standard_normal(n_particles)
+    dx = length / n_mesh
+
+    # precomputed circulant E operator (same as the TPU one, built once)
+    k = np.arange(n_mesh)
+    lam = (2 * np.cos(2 * np.pi * k / n_mesh) - 2) / dx**2
+    g = 1j * np.sin(2 * np.pi * k / n_mesh) / dx
+    inv = np.zeros(n_mesh, dtype=complex)
+    inv[1:] = 1.0 / lam[1:]
+    eig = -g * inv
+    col = np.fft.ifft(eig).real
+    e_op = col[(k[:, None] - k[None, :]) % n_mesh]
+
+    def accel(xp):
+        xm = np.mod(xp, length)
+        il = np.floor(xm / dx).astype(int)
+        frac = xm / dx - il
+        il %= n_mesh
+        ir = (il + 1) % n_mesh
+        n = np.bincount(il, weights=1.0 - frac, minlength=n_mesh)
+        n += np.bincount(ir, weights=frac, minlength=n_mesh)
+        n *= length / n_particles / dx
+        e_mesh = e_op @ (n - 1.0)
+        return -((1.0 - frac) * e_mesh[il] + frac * e_mesh[ir])
+
+    phi = 2 ** (1 / 3)
+    w0, w1 = -phi / (2 - phi), 1 / (2 - phi)
+    cs = [0.5 * w1, 0.5 * (w0 + w1), 0.5 * (w0 + w1), 0.5 * w1]
+    ds = [w1, w0, w1]
+
+    def step(x, v):
+        x = x + cs[0] * dt * v
+        for c, d in zip(cs[1:], ds):
+            v = v + d * dt * accel(x)
+            x = x + c * dt * v
+        return np.mod(x, length), v
+
+    step(x, v)  # warm caches
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x, v = step(x, v)
+    return reps / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+    from plasma_control_tpu.control.actuator import make_actuator
+    from plasma_control_tpu.control.mpc import plan
+    from plasma_control_tpu.models.pic import init_state
+    from plasma_control_tpu.models.rollout import rollout
+    from plasma_control_tpu.ops.grid import make_grid
+
+    details = {"device": str(jax.devices()[0])}
+
+    # ---------------- headline: MPC solves/s (1 chip) ----------------
+    cfg = SimConfig(
+        simcase="bump-on-tail", n_particles=5000, n_mesh=250, dt=0.1, t_max=50.0, length=50.0
+    )
+    ctrl = ControlConfig(max_mode=4)
+    mpc = MPCConfig(horizon=10, n_candidates=512)
+    grid = make_grid(cfg.n_mesh, cfg.length)
+    act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    mean = jnp.zeros((mpc.horizon, ctrl.n_actions), dtype=jnp.float32)
+    sigma = jnp.asarray(mpc.sigma0, dtype=jnp.float32)
+
+    solve = jax.jit(
+        lambda st, mn, key: plan(st, mn, sigma, key, grid, cfg, ctrl, mpc, act)
+    )
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    out = solve(state, mean, key)
+    jax.block_until_ready(out)
+    details["mpc_compile_s"] = time.perf_counter() - t0
+
+    reps = 20
+    keys = jax.random.split(jax.random.PRNGKey(2), reps)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = solve(state, mean, keys[i])
+    jax.block_until_ready(out)
+    solves_per_s = reps / (time.perf_counter() - t0)
+    details["mpc_solves_per_s"] = solves_per_s
+
+    # ---------------- sub-benchmark: particle-push steps/s ----------------
+    cfg1 = SimConfig(simcase="two-stream", n_particles=10000, n_mesh=64, dt=0.1, t_max=50.0)
+    grid1 = make_grid(cfg1.n_mesh, cfg1.length)
+    st1 = init_state(cfg1, jax.random.PRNGKey(0))
+    roll = jax.jit(lambda s: rollout(s, grid1, cfg1, n_steps=500).final_state)
+    t0 = time.perf_counter()
+    jax.block_until_ready(roll(st1))
+    details["rollout_compile_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out1 = roll(st1)
+    jax.block_until_ready(out1)
+    details["push_steps_per_s"] = 3 * 500 / (time.perf_counter() - t0)
+
+    # ---------------- CPU baseline (reference-style NumPy) ----------------
+    np_rate = _numpy_reference_step_rate(cfg.n_particles, cfg.n_mesh, cfg.length, cfg.dt)
+    details["numpy_step_rate"] = np_rate
+    # one full solve = n_candidates * horizon PIC steps
+    np_solves_per_s = np_rate / (mpc.n_candidates * mpc.horizon)
+    details["numpy_solves_per_s"] = np_solves_per_s
+
+    vs_baseline = solves_per_s / np_solves_per_s
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "mpc_solves_per_s",
+                "value": round(solves_per_s, 3),
+                "unit": "solves/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Receding-horizon sampling MPC (MPPI / CEM) for external-field control.
+
+This is the BASELINE.json north-star capability that replaces the reference's
+DDPG/PPO/SAC training loops with a trajectory-optimization engine: at every
+control step, sample K candidate Fourier-coefficient sequences around a
+warm-started nominal, roll each out through the *full PIC dynamics* for a
+short horizon (batched ``vmap`` over candidates, all on-device), score with
+the field-energy + control-effort cost (`/root/reference/README.md:70`,
+`/root/reference/src/control/rl/reward.py:52-76`), and update the nominal by
+MPPI exponential averaging or CEM elite refitting. The first action is
+applied; the nominal is shifted (receding horizon).
+
+Everything — candidate sampling, K batched H-step rollouts, cost reduction,
+the argmin/weighting, the outer receding-horizon loop — is one compiled
+program with no host sync inside (SURVEY §7 hard part 5). The candidate axis
+is the unit of data parallelism for multi-chip scaling
+(:mod:`plasma_control_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ControlConfig, MPCConfig, SimConfig
+from ..models.pic import PlasmaState, step
+from ..models.rollout import _energies
+from ..ops.grid import Grid
+from .actuator import FourierActuator
+
+__all__ = ["MPCOutput", "candidate_costs", "plan", "mpc_rollout"]
+
+
+class MPCOutput(NamedTuple):
+    final_state: PlasmaState
+    field_energy: jax.Array  # (T,) PE after each applied step
+    kinetic: jax.Array  # (T,)
+    hamiltonian: jax.Array  # (T,)
+    coeffs: jax.Array  # (T, 2K) applied packed coefficients
+    input_energy: jax.Array  # (T,)
+    plan_cost: jax.Array  # (T,) best candidate cost at each solve
+
+
+def _horizon_cost(
+    state: PlasmaState,
+    coeff_seq: jax.Array,  # (H, 2K)
+    grid: Grid,
+    cfg: SimConfig,
+    mpc: MPCConfig,
+    actuator: FourierActuator,
+) -> jax.Array:
+    """Cost of one candidate control sequence over the planning horizon."""
+
+    def body(carry: PlasmaState, u):
+        e_ext = actuator.compute_e_packed(u)
+        new = step(carry, grid, cfg, e_ext)
+        pe, _ = _energies(new, grid, cfg)
+        c = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
+        return new, c
+
+    _, costs = jax.lax.scan(body, state, coeff_seq)
+    total = jnp.sum(costs)
+    # NaN/divergence guard (reference analogue: `src/util.py:3-14`): diverged
+    # candidates get an effectively-infinite cost instead of poisoning stats.
+    return jnp.where(jnp.isfinite(total), total, jnp.asarray(3.4e38, total.dtype))
+
+
+def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
+    """(K, H, 2K) candidates -> (K,) costs, vmapped batched rollout."""
+    return jax.vmap(lambda u: _horizon_cost(state, u, grid, cfg, mpc, actuator))(coeff_seqs)
+
+
+@partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc"))
+def plan(
+    state: PlasmaState,
+    mean: jax.Array,  # (H, 2K) warm-started nominal sequence
+    sigma: jax.Array,  # (H, 2K) or scalar sampling stddev
+    key: jax.Array,
+    grid: Grid,
+    cfg: SimConfig,
+    ctrl: ControlConfig,
+    mpc: MPCConfig,
+    actuator: FourierActuator,
+):
+    """One MPC solve. Returns (first_action, new_mean, best_cost)."""
+    h, d = mean.shape
+
+    def sample(k):
+        eps = jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype)
+        cand = mean[None] + sigma * eps
+        # keep the nominal itself in the pool (index 0): never regress
+        cand = cand.at[0].set(mean)
+        return jnp.clip(cand, ctrl.coeff_min, ctrl.coeff_max)
+
+    if mpc.algo == "mppi":
+        cand = sample(key)
+        costs = candidate_costs(state, cand, grid, cfg, mpc, actuator)
+        w = jax.nn.softmax(-(costs - jnp.min(costs)) / mpc.temperature)
+        new_mean = jnp.einsum("k,khd->hd", w, cand)
+        best = jnp.min(costs)
+    else:  # CEM
+        def cem_iter(carry, k):
+            mu, sd = carry
+            eps = jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype)
+            cand = jnp.clip(mu[None] + sd * eps, ctrl.coeff_min, ctrl.coeff_max)
+            cand = cand.at[0].set(mu)
+            costs = candidate_costs(state, cand, grid, cfg, mpc, actuator)
+            _, elite_idx = jax.lax.top_k(-costs, mpc.n_elites)
+            elites = cand[elite_idx]
+            mu2 = jnp.mean(elites, axis=0)
+            sd2 = jnp.std(elites, axis=0) + 1e-3
+            return (mu2, sd2), jnp.min(costs)
+
+        keys = jax.random.split(key, mpc.n_iters)
+        (new_mean, _), bests = jax.lax.scan(cem_iter, (mean, jnp.broadcast_to(sigma, mean.shape)), keys)
+        best = bests[-1]
+
+    return new_mean[0], new_mean, best
+
+
+@partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc", "n_steps"))
+def mpc_rollout(
+    state: PlasmaState,
+    grid: Grid,
+    cfg: SimConfig,
+    ctrl: ControlConfig,
+    mpc: MPCConfig,
+    actuator: FourierActuator,
+    key: jax.Array,
+    n_steps: Optional[int] = None,
+) -> MPCOutput:
+    """Closed-loop receding-horizon control for ``n_steps`` env steps.
+
+    The whole loop — T solves x (K candidates x H-step PIC rollouts) — is one
+    compiled program; the per-step replanning warm-starts from the shifted
+    previous nominal.
+    """
+    t = n_steps if n_steps is not None else cfg.n_steps
+    d = 2 * ctrl.max_mode
+    mean0 = jnp.zeros((mpc.horizon, d), dtype=state.x.dtype)
+    sigma = jnp.asarray(mpc.sigma0, dtype=state.x.dtype)
+
+    def body(carry, k):
+        st, mean = carry
+        action, new_mean, best = plan(st, mean, sigma, k, grid, cfg, ctrl, mpc, actuator)
+        e_ext = actuator.compute_e_packed(action)
+        new_st = step(st, grid, cfg, e_ext)
+        pe, ke = _energies(new_st, grid, cfg)
+        ie = actuator.input_energy(action)
+        # receding horizon: shift, repeat last
+        shifted = jnp.concatenate([new_mean[1:], new_mean[-1:]])
+        return (new_st, shifted), (pe, ke, action, ie, best)
+
+    keys = jax.random.split(key, t)
+    (final, _), (pe, ke, coeffs, ie, best) = jax.lax.scan(body, (state, mean0), keys)
+    return MPCOutput(
+        final_state=final,
+        field_energy=pe,
+        kinetic=ke,
+        hamiltonian=pe + ke,
+        coeffs=coeffs,
+        input_energy=ie,
+        plan_cost=best,
+    )

@@ -1,0 +1,91 @@
+"""MPC solver tests: planning sanity, suppression, determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+from plasma_control_tpu.control.actuator import make_actuator
+from plasma_control_tpu.control.mpc import candidate_costs, mpc_rollout, plan
+from plasma_control_tpu.models.pic import init_state
+from plasma_control_tpu.models.rollout import rollout
+from plasma_control_tpu.ops.grid import make_grid
+
+
+def tiny_cfg(**kw):
+    base = dict(n_particles=1000, n_mesh=32, dt=0.1, t_max=10.0, length=50.0)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+CTRL = ControlConfig(max_mode=2)
+
+
+class TestPlan:
+    def test_candidate_costs_finite_and_distinct(self):
+        cfg = tiny_cfg()
+        mpc = MPCConfig(horizon=4, n_candidates=16)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (16, 4, 4))
+        costs = np.asarray(candidate_costs(st, cand, grid, cfg, mpc, act))
+        assert costs.shape == (16,)
+        assert np.isfinite(costs).all()
+        assert np.std(costs) > 0
+
+    @pytest.mark.parametrize("algo", ["mppi", "cem"])
+    def test_plan_returns_valid(self, algo):
+        cfg = tiny_cfg()
+        mpc = MPCConfig(horizon=4, n_candidates=32, n_elites=8, n_iters=2, algo=algo)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        mean = jnp.zeros((4, 4))
+        action, new_mean, best = plan(st, mean, jnp.asarray(0.3), jax.random.PRNGKey(2), grid, cfg, CTRL, mpc, act)
+        assert action.shape == (4,)
+        assert new_mean.shape == (4, 4)
+        assert np.isfinite(float(best))
+        assert np.abs(np.asarray(action)).max() <= CTRL.coeff_max + 1e-6
+
+    def test_plan_deterministic(self):
+        cfg = tiny_cfg()
+        mpc = MPCConfig(horizon=3, n_candidates=16)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        mean = jnp.zeros((3, 4))
+        out1 = plan(st, mean, jnp.asarray(0.3), jax.random.PRNGKey(5), grid, cfg, CTRL, mpc, act)
+        out2 = plan(st, mean, jnp.asarray(0.3), jax.random.PRNGKey(5), grid, cfg, CTRL, mpc, act)
+        np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+
+
+class TestClosedLoop:
+    def test_mpc_suppresses_two_stream(self):
+        cfg = tiny_cfg(n_particles=2000, n_mesh=64, t_max=25.0)
+        mpc = MPCConfig(horizon=5, n_candidates=64, temperature=0.1, sigma0=0.3, w_input=0.01)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, 3)
+        ctrl = ControlConfig(max_mode=3)
+        st = init_state(cfg, jax.random.PRNGKey(42))
+
+        un = rollout(st, grid, cfg)
+        out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(0))
+
+        pe_un = float(jnp.mean(un.field_energy[-50:]))
+        pe_mpc = float(jnp.mean(out.field_energy[-50:]))
+        assert np.isfinite(np.asarray(out.field_energy)).all()
+        assert pe_mpc < 0.5 * pe_un, f"mpc {pe_mpc} vs uncontrolled {pe_un}"
+
+    def test_output_shapes(self):
+        cfg = tiny_cfg(t_max=2.0)
+        mpc = MPCConfig(horizon=3, n_candidates=8)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        out = mpc_rollout(st, grid, cfg, CTRL, mpc, act, jax.random.PRNGKey(1))
+        t = cfg.n_steps
+        assert out.coeffs.shape == (t, 4)
+        assert out.field_energy.shape == (t,)
+        assert out.plan_cost.shape == (t,)

@@ -1,0 +1,97 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (SURVEY §4 level 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+from plasma_control_tpu.control.actuator import make_actuator
+from plasma_control_tpu.control.mpc import candidate_costs, plan
+from plasma_control_tpu.models.pic import PlasmaState, init_state, step
+from plasma_control_tpu.ops.grid import make_grid
+from plasma_control_tpu.parallel.mesh import make_mesh, shard_batch
+from plasma_control_tpu.parallel.pic_shard import (
+    make_particle_sharded_step,
+    make_sharded_candidate_costs,
+    sharded_plan,
+)
+
+
+def cfgs(**kw):
+    base = dict(n_particles=1024, n_mesh=32, dt=0.1, t_max=5.0, length=50.0)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    return jax.devices()
+
+
+class TestParticleSharding:
+    def test_sharded_step_matches_single_device(self, devices8):
+        cfg = cfgs()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        mesh = make_mesh(axis_names=("particle",))
+        st = init_state(cfg, jax.random.PRNGKey(0))
+
+        ref = step(st, grid, cfg, jnp.zeros(cfg.n_mesh))
+
+        sharded_step = make_particle_sharded_step(mesh, grid, cfg)
+        x_s, v_s = shard_batch((st.x, st.v), mesh, axis="particle")
+        x2, v2 = sharded_step(x_s, v_s, jnp.zeros(cfg.n_mesh))
+
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(ref.x), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(ref.v), atol=1e-4)
+
+    def test_sharded_step_with_external_field(self, devices8):
+        cfg = cfgs()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        mesh = make_mesh(axis_names=("particle",))
+        st = init_state(cfg, jax.random.PRNGKey(3))
+        e_ext = jnp.asarray(0.1 * np.sin(2 * np.pi * np.arange(cfg.n_mesh) / cfg.n_mesh), dtype=jnp.float32)
+
+        ref = step(st, grid, cfg, e_ext)
+        sharded_step = make_particle_sharded_step(mesh, grid, cfg)
+        x_s, v_s = shard_batch((st.x, st.v), mesh, axis="particle")
+        x2, v2 = sharded_step(x_s, v_s, e_ext)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(ref.v), atol=1e-4)
+
+
+class TestRolloutSharding:
+    def test_sharded_costs_match_vmap(self, devices8):
+        cfg = cfgs()
+        mpc = MPCConfig(horizon=3, n_candidates=16)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, 2)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (16, 3, 4))
+
+        ref = np.asarray(candidate_costs(st, cand, grid, cfg, mpc, act))
+
+        mesh = make_mesh(axis_names=("rollout",))
+        costs_fn = make_sharded_candidate_costs(mesh, grid, cfg, mpc, act)
+        got = np.asarray(costs_fn(st, jax.device_put(cand, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rollout")))))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_sharded_plan_runs(self, devices8):
+        cfg = cfgs()
+        mpc = MPCConfig(horizon=3, n_candidates=32)
+        ctrl = ControlConfig(max_mode=2)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(axis_names=("rollout",))
+        action, new_mean, best = sharded_plan(
+            st, jnp.zeros((3, 4)), jnp.asarray(0.3), jax.random.PRNGKey(2), mesh, grid, cfg, ctrl, mpc, act
+        )
+        assert action.shape == (4,)
+        assert np.isfinite(float(best))
+
+
+class TestMesh2D:
+    def test_2d_mesh_construction(self, devices8):
+        mesh = make_mesh(axis_sizes=(4, 2), axis_names=("rollout", "particle"))
+        assert mesh.shape == {"rollout": 4, "particle": 2}
