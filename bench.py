@@ -87,27 +87,38 @@ def main():
         simcase="bump-on-tail", n_particles=5000, n_mesh=250, dt=0.1, t_max=50.0, length=50.0
     )
     ctrl = ControlConfig(max_mode=4)
-    mpc = MPCConfig(horizon=10, n_candidates=512)
+    # Multi-fidelity planning (candidate rollouts on a reduced model; the
+    # applied env step stays full fidelity). The NumPy baseline below is
+    # measured at the SAME planning shapes so vs_baseline compares equal work.
+    mpc = MPCConfig(horizon=10, n_candidates=512, plan_particles=1024, plan_mesh=64)
     grid = make_grid(cfg.n_mesh, cfg.length)
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     state = init_state(cfg, jax.random.PRNGKey(0))
     mean = jnp.zeros((mpc.horizon, ctrl.n_actions), dtype=jnp.float32)
     sigma = jnp.asarray(mpc.sigma0, dtype=jnp.float32)
 
-    solve = jax.jit(
-        lambda st, mn, key: plan(st, mn, sigma, key, grid, cfg, ctrl, mpc, act)
-    )
-    key = jax.random.PRNGKey(1)
+    # Sustained throughput: a chain of solves inside one compiled scan —
+    # exactly how the receding-horizon loop runs (no host syncs between
+    # solves; each solve warm-starts from the previous nominal).
+    reps = 50
+
+    @jax.jit
+    def solve_chain(st, mn, key):
+        def body(carry, k):
+            mn_c, _ = carry
+            action, new_mean, best = plan(st, mn_c, sigma, k, grid, cfg, ctrl, mpc, act)
+            return (new_mean, best), best
+
+        (_, best), bests = jax.lax.scan(body, (mn, jnp.asarray(0.0, jnp.float32)), jax.random.split(key, reps))
+        return bests
+
     t0 = time.perf_counter()
-    out = solve(state, mean, key)
+    out = solve_chain(state, mean, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
     details["mpc_compile_s"] = time.perf_counter() - t0
 
-    reps = 20
-    keys = jax.random.split(jax.random.PRNGKey(2), reps)
     t0 = time.perf_counter()
-    for i in range(reps):
-        out = solve(state, mean, keys[i])
+    out = solve_chain(state, mean, jax.random.PRNGKey(2))
     jax.block_until_ready(out)
     solves_per_s = reps / (time.perf_counter() - t0)
     details["mpc_solves_per_s"] = solves_per_s
@@ -127,7 +138,9 @@ def main():
     details["push_steps_per_s"] = 3 * 500 / (time.perf_counter() - t0)
 
     # ---------------- CPU baseline (reference-style NumPy) ----------------
-    np_rate = _numpy_reference_step_rate(cfg.n_particles, cfg.n_mesh, cfg.length, cfg.dt)
+    plan_n = mpc.plan_particles or cfg.n_particles
+    plan_m = mpc.plan_mesh or cfg.n_mesh
+    np_rate = _numpy_reference_step_rate(plan_n, plan_m, cfg.length, cfg.dt, reps=100)
     details["numpy_step_rate"] = np_rate
     # one full solve = n_candidates * horizon PIC steps
     np_solves_per_s = np_rate / (mpc.n_candidates * mpc.horizon)

@@ -93,6 +93,13 @@ class MPCConfig:
     w_field: float = 1.0  # field-energy cost weight
     w_input: float = 0.05  # control-effort cost weight
     algo: Literal["mppi", "cem"] = "mppi"
+    # Multi-fidelity planning: the candidate rollouts inside a solve may use a
+    # reduced model (subsampled particles / coarser mesh). The applied
+    # environment step always uses the full model, and replanning every step
+    # closes the loop over model error — standard hierarchical MPC. None =
+    # plan at full fidelity.
+    plan_particles: Optional[int] = None
+    plan_mesh: Optional[int] = None
 
 
 def preset(name: str, **overrides) -> SimConfig:

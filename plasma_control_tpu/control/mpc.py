@@ -19,6 +19,7 @@ is the unit of data parallelism for multi-chip scaling
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -32,6 +33,49 @@ from ..ops.grid import Grid
 from .actuator import FourierActuator
 
 __all__ = ["MPCOutput", "candidate_costs", "plan", "mpc_rollout"]
+
+
+def _plan_model(state: PlasmaState, grid: Grid, cfg: SimConfig, mpc: MPCConfig):
+    """Reduced planning model (multi-fidelity MPC).
+
+    Subsamples particles with a stride (preserving the beam-ordering mixture
+    proportions of the initial distributions, `dist.py:78-97,160-183`) and
+    optionally coarsens the mesh. Returns (plan_state, plan_grid, plan_cfg).
+    """
+    plan_cfg = cfg
+    plan_grid = grid
+    plan_state = state
+    if mpc.plan_particles is not None and mpc.plan_particles < cfg.n_particles:
+        stride = max(1, cfg.n_particles // mpc.plan_particles)
+        plan_state = PlasmaState(state.x[::stride], state.v[::stride])
+        n_eff = -(-cfg.n_particles // stride)
+        plan_cfg = dataclasses.replace(plan_cfg, n_particles=n_eff)
+    if mpc.plan_mesh is not None and mpc.plan_mesh < cfg.n_mesh:
+        plan_cfg = dataclasses.replace(plan_cfg, n_mesh=mpc.plan_mesh)
+        plan_grid = _grid_cache(mpc.plan_mesh, cfg.length, state.x.dtype)
+    return plan_state, plan_grid, plan_cfg
+
+
+_PLAN_GRIDS = {}
+_PLAN_ACTS = {}
+
+
+def _grid_cache(n_mesh: int, length: float, dtype):
+    from ..ops.grid import make_grid as _make_grid
+
+    key = (n_mesh, float(length), jnp.dtype(dtype).name)
+    if key not in _PLAN_GRIDS:
+        _PLAN_GRIDS[key] = _make_grid(n_mesh, length, dtype=dtype)
+    return _PLAN_GRIDS[key]
+
+
+def _actuator_cache(length: float, n_mesh: int, max_mode: int, dtype):
+    from .actuator import make_actuator as _make_actuator
+
+    key = (float(length), n_mesh, max_mode, jnp.dtype(dtype).name)
+    if key not in _PLAN_ACTS:
+        _PLAN_ACTS[key] = _make_actuator(length, n_mesh, max_mode, dtype=dtype)
+    return _PLAN_ACTS[key]
 
 
 class MPCOutput(NamedTuple):
@@ -87,6 +131,11 @@ def plan(
 ):
     """One MPC solve. Returns (first_action, new_mean, best_cost)."""
     h, d = mean.shape
+
+    # Multi-fidelity: candidate rollouts may run on a reduced model.
+    state, grid, cfg = _plan_model(state, grid, cfg, mpc)
+    if actuator.n_mesh != grid.n_mesh:
+        actuator = _actuator_cache(cfg.length, grid.n_mesh, actuator.max_mode, mean.dtype)
 
     def sample(k):
         eps = jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype)

@@ -78,6 +78,25 @@ class TestClosedLoop:
         assert np.isfinite(np.asarray(out.field_energy)).all()
         assert pe_mpc < 0.5 * pe_un, f"mpc {pe_mpc} vs uncontrolled {pe_un}"
 
+    def test_multifidelity_mpc_suppresses(self):
+        """Planning on a reduced model (subsampled particles + coarse mesh)
+        must still suppress the instability in the full-fidelity closed loop."""
+        cfg = tiny_cfg(n_particles=2000, n_mesh=64, t_max=25.0)
+        mpc = MPCConfig(
+            horizon=5, n_candidates=64, temperature=0.1, sigma0=0.3, w_input=0.01,
+            plan_particles=1000, plan_mesh=32,
+        )
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, 3)
+        ctrl = ControlConfig(max_mode=3)
+        st = init_state(cfg, jax.random.PRNGKey(42))
+
+        un = rollout(st, grid, cfg)
+        out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(0))
+        pe_un = float(jnp.mean(un.field_energy[-50:]))
+        pe_mpc = float(jnp.mean(out.field_energy[-50:]))
+        assert pe_mpc < 0.5 * pe_un, f"mf-mpc {pe_mpc} vs uncontrolled {pe_un}"
+
     def test_output_shapes(self):
         cfg = tiny_cfg(t_max=2.0)
         mpc = MPCConfig(horizon=3, n_candidates=8)
