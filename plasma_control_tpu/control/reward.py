@@ -50,9 +50,11 @@ class Reward:
         self.n_actions = n_actions
 
         self.feq = estimate_f(init_state, n_mesh, self.length, vmin, vmax, n0)
-        # Normalizers (`reward.py:31-33`)
+        # Normalizers (`reward.py:31-33`): r_ie_n = IE(ones(n_actions)) =
+        # n_actions * L * 0.25, computed in Python so __init__ stays usable
+        # inside jit traces.
         self.r_pe_n = 1.0
-        self.r_ie_n = float(self.compute_input_energy(jnp.ones(n_actions)))
+        self.r_ie_n = n_actions * self.length * 0.25
 
     def reinit(self):
         self.feq = estimate_f(self.init_state, self.n_mesh, self.length, self.vmin, self.vmax, self.n0)

@@ -1,0 +1,230 @@
+"""Flax network definitions for the RL controllers.
+
+Capability parity with the reference's PyTorch modules:
+
+* ``ParticleEncoder`` — DeepSets permutation-invariant encoder
+  (`/root/reference/src/control/rl/encode.py:4-38`).
+* ``DDPGActor``/``DDPGCritic`` — encoder + 3x(Dense+LayerNorm+ReLU) trunks
+  (`/root/reference/src/control/rl/ddpg.py:54-186`).
+* ``PPOActorCritic`` — shared trunk, Gaussian policy with learned global
+  log_std, value head (`/root/reference/src/control/rl/ppo.py:47-130`).
+  NOTE: the reference stores x_norm/v_norm but never applies them in
+  ``forward`` (`ppo.py:93-95`) — reproduced (raw state into the encoder).
+* ``SACActor``/``SACCritic`` — raw-MLP (no encoder), pre-LayerNorm + tanh
+  activations, clamped mu/log_std (`/root/reference/src/control/rl/sac.py:48-188`).
+
+Quirks preserved deliberately (documented so parity is auditable):
+- SAC's log-prob has no tanh-squash Jacobian correction (`sac.py:124-126`).
+- The action rescale ``(0.5 + 0.5*y)*(max-min)+min`` maps y in [-1, 1]
+  affinely onto [min, max] (`ddpg.py:129-131`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ParticleEncoder", "DDPGActor", "DDPGCritic", "PPOActorCritic", "SACActor", "SACCritic"]
+
+
+def _rescale(y: jax.Array, lo: float, hi: float) -> jax.Array:
+    """Affine map [-1, 1] -> [lo, hi] (`ddpg.py:129-131`)."""
+    return (0.5 + 0.5 * y) * (hi - lo) + lo
+
+
+class ParticleEncoder(nn.Module):
+    """DeepSets encoder: per-particle (cos q', sin q', p) -> phi-MLP -> mean
+    -> rho-MLP (`encode.py:27-38`). Input (..., 2N)."""
+
+    hidden_dim: int
+    output_dim: int
+    length: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = x.shape[-1] // 2
+        q, p = x[..., :n], x[..., n:]
+        ang = q * (2.0 * jnp.pi / self.length)
+        z = jnp.stack([jnp.cos(ang), jnp.sin(ang), p], axis=-1)  # (..., N, 3)
+        z = nn.Dense(self.hidden_dim)(z)
+        z = nn.LayerNorm()(z)
+        z = nn.relu(z)
+        z = jnp.mean(z, axis=-2)  # permutation-invariant pool
+        z = nn.Dense(self.output_dim)(z)
+        z = nn.LayerNorm()(z)
+        return nn.relu(z)
+
+
+class _LNTrunk(nn.Module):
+    """3x(Dense + LayerNorm + ReLU) trunk shared by DDPG nets (`ddpg.py:85-121`)."""
+
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        for _ in range(3):
+            z = nn.relu(nn.LayerNorm()(nn.Dense(self.mlp_dim)(z)))
+        return z
+
+
+class DDPGActor(nn.Module):
+    """Deterministic actor (`ddpg.py:54-133`): state (..., 2N) -> action (..., A)."""
+
+    mlp_dim: int
+    n_actions: int
+    output_min: float = -1.0
+    output_max: float = 1.0
+    x_norm: float = 1.0
+    v_norm: float = 10.0
+    length: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = x.shape[-1] // 2
+        z = jnp.concatenate([x[..., :n] / self.x_norm, x[..., n:] / self.v_norm], axis=-1)
+        z = ParticleEncoder(self.mlp_dim, self.mlp_dim, self.length)(z)
+        z = _LNTrunk(self.mlp_dim)(z)
+        return jnp.tanh(nn.Dense(self.n_actions)(z))
+
+    def sample(self, params, x):
+        mu = self.apply(params, x)
+        return _rescale(mu, self.output_min, self.output_max)
+
+
+class DDPGCritic(nn.Module):
+    """Q(s, a) (`ddpg.py:135-186`)."""
+
+    mlp_dim: int
+    x_norm: float = 1.0
+    v_norm: float = 10.0
+    length: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, a: jax.Array) -> jax.Array:
+        n = x.shape[-1] // 2
+        z = jnp.concatenate([x[..., :n] / self.x_norm, x[..., n:] / self.v_norm], axis=-1)
+        z = ParticleEncoder(self.mlp_dim, self.mlp_dim, self.length)(z)
+        z = jnp.concatenate([z, a], axis=-1)
+        z = _LNTrunk(self.mlp_dim)(z)
+        return nn.Dense(1)(z)
+
+
+class PPOActorCritic(nn.Module):
+    """Shared-trunk Gaussian policy + value head (`ppo.py:47-130`)."""
+
+    mlp_dim: int
+    n_actions: int
+    std_init: float = 0.25
+    output_min: float = -1.0
+    output_max: float = 1.0
+    length: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        z = ParticleEncoder(self.mlp_dim, self.mlp_dim, self.length)(x)
+        z = _LNTrunk(self.mlp_dim)(z)
+        mu = jnp.tanh(nn.Dense(self.n_actions)(z))
+        value = nn.Dense(1)(z)
+        log_std = self.param(
+            "log_std", lambda _k: jnp.full((self.n_actions,), jnp.log(self.std_init), jnp.float32)
+        )
+        std = jnp.broadcast_to(jnp.exp(log_std), mu.shape)
+        return mu, std, value
+
+    def sample(self, params, x, key=None, deterministic: bool = False):
+        """Returns (action, entropy, log_prob, value), matching
+        ``ActorCritic.sample`` (`ppo.py:105-121`)."""
+        mu, std, value = self.apply(params, x)
+        if deterministic or key is None:
+            y = mu
+        else:
+            y = mu + std * jax.random.normal(key, mu.shape, mu.dtype)
+        action = _rescale(y, self.output_min, self.output_max)
+        log_prob = jnp.sum(
+            -0.5 * ((y - mu) / std) ** 2 - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi),
+            axis=-1,
+            keepdims=True,
+        )
+        entropy = jnp.mean(0.5 + 0.5 * jnp.log(2 * jnp.pi) + jnp.log(std))
+        return action, entropy, log_prob, value
+
+
+class SACActor(nn.Module):
+    """Gaussian actor with tanh squash (`sac.py:48-134`): raw 2N-input MLP,
+    pre-LayerNorm + tanh activations; clamped mu/log_std. The log-prob omits
+    the tanh Jacobian term, as in the reference (`sac.py:124-126`)."""
+
+    mlp_dim: int
+    n_actions: int
+    mu_min: float = -10.0
+    mu_max: float = 10.0
+    log_std_min: float = -2.0
+    log_std_max: float = 2.0
+    output_min: float = -1.0
+    output_max: float = 1.0
+    x_norm: float = 50.0
+    v_norm: float = 10.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        n = x.shape[-1] // 2
+        z = jnp.concatenate([x[..., :n] / self.x_norm, x[..., n:] / self.v_norm], axis=-1)
+        z = jnp.tanh(nn.Dense(self.mlp_dim)(nn.LayerNorm()(z)))
+        z = jnp.tanh(nn.Dense(self.mlp_dim)(nn.LayerNorm()(z)))
+        z = jnp.tanh(nn.Dense(self.mlp_dim)(nn.LayerNorm()(z)))
+        mu = jnp.clip(nn.Dense(self.n_actions)(z), self.mu_min, self.mu_max)
+        log_std = jnp.clip(nn.Dense(self.n_actions)(z), self.log_std_min, self.log_std_max)
+        return mu, log_std
+
+    def sample(self, params, x, key=None, deterministic: bool = False):
+        """Returns (action, entropy, log_prob) (`sac.py:112-132`)."""
+        mu, log_std = self.apply(params, x)
+        std = jnp.exp(log_std)
+        if deterministic or key is None:
+            xs = mu
+        else:
+            xs = mu + std * jax.random.normal(key, mu.shape, mu.dtype)
+        y = jnp.tanh(xs)
+        action = _rescale(y, self.output_min, self.output_max)
+        log_prob = jnp.sum(
+            -0.5 * ((xs - mu) / std) ** 2 - log_std - 0.5 * jnp.log(2 * jnp.pi),
+            axis=-1,
+            keepdims=True,
+        )
+        entropy = jnp.mean(0.5 + 0.5 * jnp.log(2 * jnp.pi) + log_std)
+        return action, entropy, log_prob
+
+
+class _SACQNetwork(nn.Module):
+    """(`sac.py:136-172`)"""
+
+    mlp_dim: int
+    x_norm: float = 50.0
+    v_norm: float = 10.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, a: jax.Array):
+        n = x.shape[-1] // 2
+        z = jnp.concatenate([x[..., :n] / self.x_norm, x[..., n:] / self.v_norm], axis=-1)
+        z = jnp.concatenate([z, a], axis=-1)
+        z = jnp.tanh(nn.Dense(self.mlp_dim)(nn.LayerNorm()(z)))
+        z = jnp.tanh(nn.Dense(self.mlp_dim)(nn.LayerNorm()(z)))
+        z = jnp.tanh(nn.Dense(self.mlp_dim)(nn.LayerNorm()(z)))
+        return nn.Dense(1)(z)
+
+
+class SACCritic(nn.Module):
+    """Twin Q (`sac.py:174-188`)."""
+
+    mlp_dim: int
+    x_norm: float = 50.0
+    v_norm: float = 10.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, a: jax.Array):
+        q1 = _SACQNetwork(self.mlp_dim, self.x_norm, self.v_norm)(x, a)
+        q2 = _SACQNetwork(self.mlp_dim, self.x_norm, self.v_norm)(x, a)
+        return q1, q2

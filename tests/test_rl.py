@@ -1,0 +1,207 @@
+"""RL layer tests: networks, buffer, GAE, one-step updates, tiny end-to-end
+training runs for DDPG / PPO / SAC."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plasma_control_tpu.config import ControlConfig, SimConfig
+from plasma_control_tpu.control.actuator import make_actuator
+from plasma_control_tpu.control.rl.buffer import buffer_init, buffer_push, buffer_sample
+from plasma_control_tpu.control.rl.networks import (
+    DDPGActor,
+    DDPGCritic,
+    ParticleEncoder,
+    PPOActorCritic,
+    SACActor,
+    SACCritic,
+)
+from plasma_control_tpu.ops.grid import make_grid
+
+
+def tiny():
+    cfg = SimConfig(n_particles=200, n_mesh=32, dt=0.1, t_max=3.0, length=50.0)
+    ctrl = ControlConfig(max_mode=2, reward_n_mesh=50)
+    grid = make_grid(cfg.n_mesh, cfg.length)
+    act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+    return cfg, ctrl, grid, act
+
+
+class TestNetworks:
+    def test_encoder_permutation_invariance(self):
+        enc = ParticleEncoder(16, 8)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 40))
+        params = enc.init(jax.random.PRNGKey(1), x)
+        out = enc.apply(params, x)
+        assert out.shape == (2, 8)
+        # permute particles (q and p with the same permutation)
+        perm = jax.random.permutation(jax.random.PRNGKey(2), 20)
+        xp = jnp.concatenate([x[:, :20][:, perm], x[:, 20:][:, perm]], axis=1)
+        np.testing.assert_allclose(np.asarray(enc.apply(params, xp)), np.asarray(out), atol=1e-5)
+
+    def test_ddpg_actor_bounds(self):
+        actor = DDPGActor(mlp_dim=16, n_actions=4, output_min=-1.25, output_max=1.25)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 40))
+        params = actor.init(jax.random.PRNGKey(1), x)
+        a = actor.sample(params, x)
+        assert a.shape == (3, 4)
+        assert float(jnp.max(jnp.abs(a))) <= 1.25 + 1e-6
+
+    def test_ddpg_critic_shape(self):
+        critic = DDPGCritic(mlp_dim=16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 40))
+        a = jax.random.normal(jax.random.PRNGKey(1), (3, 4))
+        params = critic.init(jax.random.PRNGKey(2), x, a)
+        q = critic.apply(params, x, a)
+        assert q.shape == (3, 1)
+
+    def test_ppo_sample(self):
+        pol = PPOActorCritic(mlp_dim=16, n_actions=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 40))
+        params = pol.init(jax.random.PRNGKey(1), x)
+        a, ent, logp, v = pol.sample(params=params, x=x, key=jax.random.PRNGKey(2))
+        assert a.shape == (3, 4) and logp.shape == (3, 1) and v.shape == (3, 1)
+        a_det, _, _, _ = pol.sample(params=params, x=x, deterministic=True)
+        a_det2, _, _, _ = pol.sample(params=params, x=x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(a_det), np.asarray(a_det2))
+
+    def test_sac_actor_and_critic(self):
+        actor = SACActor(mlp_dim=16, n_actions=4)
+        critic = SACCritic(mlp_dim=16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 40))
+        pa = actor.init(jax.random.PRNGKey(1), x)
+        a, ent, logp = actor.sample(pa, x, key=jax.random.PRNGKey(2))
+        assert a.shape == (3, 4)
+        assert float(jnp.max(a)) <= 1.0 + 1e-6 and float(jnp.min(a)) >= -1.0 - 1e-6
+        pc = critic.init(jax.random.PRNGKey(3), x, a)
+        q1, q2 = critic.apply(pc, x, a)
+        assert q1.shape == (3, 1) and q2.shape == (3, 1)
+        assert not np.allclose(np.asarray(q1), np.asarray(q2))  # twin nets differ
+
+
+class TestBuffer:
+    def test_push_and_sample(self):
+        buf = buffer_init(8, 6, 2)
+        for i in range(5):
+            buf = buffer_push(
+                buf,
+                jnp.full((6,), float(i)),
+                jnp.full((2,), float(i)),
+                jnp.full((6,), float(i + 1)),
+                jnp.asarray(float(i)),
+                jnp.asarray(0.0),
+                jnp.full((2,), -float(i)),
+            )
+        assert int(buf.size) == 5 and int(buf.ptr) == 5
+        s, a, s2, r, d, abc = buffer_sample(buf, jax.random.PRNGKey(0), 16)
+        assert s.shape == (16, 6)
+        assert float(jnp.max(r)) <= 4.0  # only filled region sampled
+
+    def test_ring_wraparound(self):
+        buf = buffer_init(4, 2, 1)
+        for i in range(6):
+            buf = buffer_push(
+                buf, jnp.full((2,), float(i)), jnp.zeros(1), jnp.zeros(2),
+                jnp.asarray(float(i)), jnp.asarray(0.0),
+            )
+        assert int(buf.size) == 4 and int(buf.ptr) == 2
+        # oldest entries overwritten: rewards present are {2,3,4,5}
+        assert set(np.asarray(buf.reward).tolist()) == {2.0, 3.0, 4.0, 5.0}
+
+
+class TestGAE:
+    def test_matches_numpy_loop(self):
+        from plasma_control_tpu.control.rl.ppo import compute_gae
+
+        rng = np.random.default_rng(0)
+        t = 12
+        r = rng.standard_normal(t).astype(np.float32)
+        v = rng.standard_normal(t).astype(np.float32)
+        nv = rng.standard_normal(t).astype(np.float32)
+        d = (rng.uniform(size=t) < 0.2).astype(np.float32)
+        gamma, lam = 0.99, 0.95
+
+        adv_ref = np.zeros(t, np.float32)
+        gae = 0.0
+        for i in reversed(range(t)):
+            delta = r[i] + gamma * nv[i] * (1 - d[i]) - v[i]
+            gae = delta + gamma * lam * (1 - d[i]) * gae
+            adv_ref[i] = gae
+
+        adv, ret = compute_gae(jnp.asarray(r), jnp.asarray(v), jnp.asarray(d), jnp.asarray(nv), gamma, lam)
+        np.testing.assert_allclose(np.asarray(adv), adv_ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ret), adv_ref + v, rtol=1e-5, atol=1e-5)
+
+
+class TestDDPG:
+    def test_update_changes_params(self):
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig, make_ddpg, update_policy
+
+        cfg, ctrl, grid, act = tiny()
+        hp = DDPGConfig(mlp_dim=16, batch_size=4)
+        nets, ts = make_ddpg(cfg, ctrl, hp, jax.random.PRNGKey(0))
+        k = jax.random.PRNGKey(1)
+        batch = (
+            jax.random.normal(k, (4, 2 * cfg.n_particles)),
+            jax.random.normal(k, (4, ctrl.n_actions)),
+            jax.random.normal(k, (4, 2 * cfg.n_particles)),
+            jnp.ones(4),
+            jnp.zeros(4),
+            jax.random.normal(k, (4, ctrl.n_actions)),
+        )
+        ts2, q1l, q2l, pl = update_policy(nets, ts, batch, k, hp)
+        assert np.isfinite(float(q1l)) and np.isfinite(float(pl))
+        leaf0 = jax.tree.leaves(ts.actor_params)[0]
+        leaf2 = jax.tree.leaves(ts2.actor_params)[0]
+        assert not np.allclose(np.asarray(leaf0), np.asarray(leaf2))
+
+    def test_bc_moves_toward_expert(self):
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig, behavior_cloning, make_ddpg
+
+        cfg, ctrl, grid, act = tiny()
+        hp = DDPGConfig(mlp_dim=16, n_bc_epochs=100, lr=3e-3)
+        nets, ts = make_ddpg(cfg, ctrl, hp, jax.random.PRNGKey(0))
+        k = jax.random.PRNGKey(1)
+        states = jax.random.normal(k, (16, 2 * cfg.n_particles))
+        target = jnp.tile(jnp.asarray([0.5, -0.5, 0.3, -0.3]), (16, 1))
+        rewards = jnp.ones(16)
+
+        d0 = float(jnp.mean((nets.actor.sample(ts.actor_params, states) - target) ** 2))
+        ts2 = behavior_cloning(nets, ts, states, target, rewards, k, hp)
+        d1 = float(jnp.mean((nets.actor.sample(ts2.actor_params, states) - target) ** 2))
+        assert d1 < d0
+
+    def test_train_two_episodes(self):
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig, train
+
+        cfg, ctrl, grid, act = tiny()
+        hp = DDPGConfig(
+            mlp_dim=16, capacity=256, batch_size=8, min_buffer_size=16,
+            update_freq=4, n_bc_epochs=3,
+        )
+        nets, ts, best, hist = train(cfg, ctrl, hp, grid, act, jax.random.PRNGKey(0), num_episodes=2, verbose=0)
+        assert len(hist["reward"]) == 2
+        assert np.isfinite(hist["reward"]).all()
+
+
+class TestPPO:
+    def test_train_two_episodes(self):
+        from plasma_control_tpu.control.rl.ppo import PPOConfig, train
+
+        cfg, ctrl, grid, act = tiny()
+        hp = PPOConfig(mlp_dim=16, chunk_size=4, k_epoch=2)
+        nets, ts, best, hist = train(cfg, ctrl, hp, grid, act, jax.random.PRNGKey(0), num_episodes=2, verbose=0)
+        assert len(hist["reward"]) == 2
+        assert np.isfinite(hist["loss"]).all()
+
+
+class TestSAC:
+    def test_train_two_episodes(self):
+        from plasma_control_tpu.control.rl.sac import SACConfig, train
+
+        cfg, ctrl, grid, act = tiny()
+        hp = SACConfig(mlp_dim=16, capacity=64, batch_size=8)
+        nets, ts, best, hist = train(cfg, ctrl, hp, grid, act, jax.random.PRNGKey(0), num_episodes=2, verbose=0)
+        assert len(hist["reward"]) == 2
+        assert np.isfinite(hist["reward"]).all()
