@@ -82,11 +82,14 @@ def make_actuator(
     k = 2.0 * np.pi / length * np.arange(1, max_mode + 1)
     basis_cos = np.cos(np.outer(xm, k))
     basis_sin = np.sin(np.outer(xm, k))
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    # Host numpy leaves: safe to build/cache inside jit traces (see
+    # ops/grid.py make_grid note); baked as constants under jit.
     return FourierActuator(
         length=float(length),
         n_mesh=n_mesh,
         max_mode=max_mode,
-        basis_cos=jnp.asarray(basis_cos, dtype=dtype),
-        basis_sin=jnp.asarray(basis_sin, dtype=dtype),
-        wavenumbers=jnp.asarray(k, dtype=dtype),
+        basis_cos=np.asarray(basis_cos, dtype=np_dtype),
+        basis_sin=np.asarray(basis_sin, dtype=np_dtype),
+        wavenumbers=np.asarray(k, dtype=np_dtype),
     )

@@ -114,7 +114,9 @@ class PIC:
     def __init__(self, cfg: SimConfig, key: Optional[jax.Array] = None, dtype=jnp.float32):
         self.cfg = cfg
         self.dtype = dtype
-        self.grid = make_grid(cfg.n_mesh, cfg.length, dtype=dtype)
+        # Grid leaves are host constants; pin them on device once so the
+        # per-call jit argument transfer is free.
+        self.grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length, dtype=dtype))
         self.key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         self.dist = make_distribution(cfg)
         self.initialize()

@@ -113,13 +113,18 @@ def make_grid(n_mesh: int, length: float, dtype=jnp.float32) -> Grid:
     phi_op = _circulant_from_eigenvalues(inv_lam.astype(complex))
 
     cells = dx * np.arange(n_mesh)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    # NOTE: leaves are host numpy arrays, NOT jnp arrays. This makes Grid
+    # safe to construct and cache inside jit traces (jnp.asarray under a
+    # trace would produce tracers that leak through module-level caches);
+    # under jit they are baked as constants, in eager mode converted on use.
     return Grid(
         n_mesh=n_mesh,
         length=float(length),
-        e_op=jnp.asarray(e_op, dtype=dtype),
-        phi_op=jnp.asarray(phi_op, dtype=dtype),
-        inv_lap_eig=jnp.asarray(inv_lam, dtype=dtype),
-        e_eig_r=jnp.asarray(e_eig.real, dtype=dtype),
-        e_eig_i=jnp.asarray(e_eig.imag, dtype=dtype),
-        cells=jnp.asarray(cells, dtype=dtype),
+        e_op=np.asarray(e_op, dtype=np_dtype),
+        phi_op=np.asarray(phi_op, dtype=np_dtype),
+        inv_lap_eig=np.asarray(inv_lam, dtype=np_dtype),
+        e_eig_r=np.asarray(e_eig.real, dtype=np_dtype),
+        e_eig_i=np.asarray(e_eig.imag, dtype=np_dtype),
+        cells=np.asarray(cells, dtype=np_dtype),
     )
