@@ -1,0 +1,183 @@
+"""Shared CLI machinery for the run scripts.
+
+Mirrors the reference's argparse surface (`/root/reference/run_wo_oc.py:20-57`,
+`run_ddpg.py:23-91`, etc.) — same flag names and defaults — plus the
+TPU-native additions (MPC flags, deposit method, npz export). Each top-level
+``run_*.py`` script is a thin wrapper over a function here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+from .config import ControlConfig, MPCConfig, SimConfig
+
+__all__ = ["base_parser", "add_control_args", "add_mpc_args", "build_sim_config", "build_control_config", "run_and_save"]
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--simcase", type=str, default="two-stream", choices=["two-stream", "bump-on-tail"])
+    p.add_argument("--interpol", type=str, default="CIC", choices=["CIC", "TSC"])
+    p.add_argument("--gamma", type=float, default=5.0, help="kept for reference-CLI parity; the spectral solve needs no gamma")
+    p.add_argument("--save_file", type=str, default="./dataset/")
+    p.add_argument("--save_plot", type=str, default="./result/")
+    p.add_argument("--is_save", action="store_true", default=False)
+    p.add_argument("--num_particle", type=int, default=5000)
+    p.add_argument("--num_mesh", type=int, default=250)
+    p.add_argument("--t_min", type=float, default=0.0)
+    p.add_argument("--t_max", type=float, default=50.0)
+    p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--L", type=float, default=50.0)
+    p.add_argument("--n0", type=float, default=1.0)
+    p.add_argument("--vb", type=float, default=3.0)
+    p.add_argument("--vth", type=float, default=1.0)
+    p.add_argument("--A", type=float, default=0.1)
+    p.add_argument("--n_mode", type=int, default=2)
+    p.add_argument("--a", type=float, default=0.2)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--deposit_method", type=str, default="dense", choices=["dense", "scatter"])
+    return p
+
+
+def add_control_args(p: argparse.ArgumentParser, max_mode: int = 3, coeff: float = 1.0):
+    p.add_argument("--max_mode", type=int, default=max_mode)
+    p.add_argument("--coeff_max", type=float, default=coeff)
+    p.add_argument("--coeff_min", type=float, default=-coeff)
+    return p
+
+
+def add_mpc_args(p: argparse.ArgumentParser):
+    p.add_argument("--horizon", type=int, default=10)
+    p.add_argument("--n_candidates", type=int, default=512)
+    p.add_argument("--n_elites", type=int, default=64)
+    p.add_argument("--n_iters", type=int, default=2)
+    p.add_argument("--sigma0", type=float, default=0.3)
+    p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--w_field", type=float, default=1.0)
+    p.add_argument("--w_input", type=float, default=0.05)
+    p.add_argument("--algo", type=str, default="mppi", choices=["mppi", "cem"])
+    p.add_argument("--plan_particles", type=int, default=0, help="0 = full fidelity")
+    p.add_argument("--plan_mesh", type=int, default=0, help="0 = full fidelity")
+    return p
+
+
+def build_sim_config(args: dict) -> SimConfig:
+    return SimConfig(
+        simcase=args["simcase"],
+        n_particles=args["num_particle"],
+        n_mesh=args["num_mesh"],
+        t_min=args["t_min"],
+        t_max=args["t_max"],
+        dt=args["dt"],
+        length=args["L"],
+        n0=args["n0"],
+        vb=args["vb"],
+        vth=args["vth"],
+        perturb_amplitude=args["A"],
+        perturb_mode=args["n_mode"],
+        bump_a=args["a"],
+        interpol=args["interpol"].lower().replace("cic", "cic").replace("tsc", "tsc"),
+        deposit_method=args["deposit_method"],
+        seed=args["seed"],
+    )
+
+
+def build_control_config(args: dict) -> ControlConfig:
+    return ControlConfig(
+        max_mode=args.get("max_mode", 3),
+        coeff_min=args.get("coeff_min", -1.0),
+        coeff_max=args.get("coeff_max", 1.0),
+        reward_n_mesh=args["num_mesh"],
+    )
+
+
+def build_mpc_config(args: dict) -> MPCConfig:
+    return MPCConfig(
+        horizon=args["horizon"],
+        n_candidates=args["n_candidates"],
+        n_elites=args["n_elites"],
+        n_iters=args["n_iters"],
+        sigma0=args["sigma0"],
+        temperature=args["temperature"],
+        w_field=args["w_field"],
+        w_input=args["w_input"],
+        algo=args["algo"],
+        plan_particles=args["plan_particles"] or None,
+        plan_mesh=args["plan_mesh"] or None,
+    )
+
+
+def compute_cost_traces(snapshot, cfg: SimConfig, ctrl: ControlConfig, coeffs=None):
+    """Per-step J_KL / J_ee (+ J_ie) traces like the run scripts
+    (`run_wo_oc.py:121-125`, `run_feedback.py:159-163`). ``snapshot`` is
+    (2N, T+1); costs evaluated on the post-step states (columns 1..T)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .control.reward import Reward
+
+    snap = jnp.asarray(snapshot)
+    init_state = snap[:, 0]
+    reward = Reward(init_state, ctrl.reward_n_mesh, cfg.length, ctrl.vmin, ctrl.vmax, cfg.n0)
+    states = snap[:, 1:].T  # (T, 2N)
+    j_kl = jax.vmap(reward.compute_kl_divergence)(states)
+    j_ee = jax.vmap(lambda s: reward.compute_electric_energy(s))(states)
+    costs = {r"$J_{KL}$": np.asarray(j_kl), r"$J_{ee}$": np.asarray(j_ee)}
+    if coeffs is not None:
+        j_ie = jax.vmap(reward.compute_input_energy)(jnp.asarray(coeffs))
+        costs[r"$J_{ie}$"] = np.asarray(j_ie)
+    return costs
+
+
+def run_and_save(
+    tag: str,
+    args: dict,
+    cfg: SimConfig,
+    ctrl: Optional[ControlConfig],
+    snapshot,
+    energy,
+    field_energy,
+    coeff_cos=None,
+    coeff_sin=None,
+    costs=None,
+    high_idx=None,
+):
+    """Dump data + the reference's plot set for one run
+    (`run_wo_oc.py:134-189`, `run_feedback.py:183-243`)."""
+    from .io.export import build_run_dict, save_mat, save_npz
+    from .viz import plots as P
+
+    filepath = os.path.join(args["save_file"], args["simcase"], tag)
+    savepath = os.path.join(args["save_plot"], args["simcase"], tag)
+    os.makedirs(filepath, exist_ok=True)
+    os.makedirs(savepath, exist_ok=True)
+
+    snapshot = np.asarray(snapshot)
+    mdic = build_run_dict(cfg, snapshot, np.asarray(energy), np.asarray(field_energy), coeff_cos, coeff_sin, costs)
+    if args.get("is_save"):
+        save_mat(os.path.join(filepath, "data.mat"), mdic)
+        save_npz(os.path.join(filepath, "data.npz"), mdic)
+
+    nt = snapshot.shape[1] - 1
+    dx = cfg.length / cfg.n_mesh
+    if costs:
+        P.plot_cost_over_time(cfg.t_max, nt, costs, savepath, "cost.pdf")
+    P.plot_log_e(cfg.t_max, cfg.length, dx, cfg.n_mesh, snapshot, savepath, "log_E.pdf")
+    P.plot_e_k_spectrum(cfg.t_max, cfg.length, dx, cfg.n_mesh, snapshot, savepath, "Ek_spectrum.pdf")
+    P.plot_e_k_over_time(cfg.t_max, cfg.length, dx, cfg.n_mesh, 5, snapshot, savepath, "Ek_t.pdf")
+    if coeff_cos is not None:
+        P.plot_e_k_external_over_time(cfg.t_max, coeff_cos, coeff_sin, savepath, "Ek_t_external.pdf")
+    if args["simcase"] == "two-stream":
+        P.plot_two_stream_evolution(snapshot, savepath, "phase_space_evolution.pdf", 0, cfg.length, -10.0, 10.0)
+    else:
+        P.plot_bump_on_tail_evolution(
+            snapshot, savepath, "phase_space_evolution.pdf", 0, cfg.length, -10.0, 10.0, high_idx
+        )
+    P.plot_x_dist_evolution(snapshot, savepath, "x_dist.pdf", 0, cfg.length, cfg.n_mesh)
+    P.plot_v_dist_evolution(snapshot, savepath, "v_dist.pdf", -10.0, 10.0, cfg.n_mesh)
+    print(f"# saved artifacts: {filepath} (data), {savepath} (plots)")

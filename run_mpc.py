@@ -1,0 +1,66 @@
+"""Receding-horizon sampling MPC control (the TPU-native controller that
+replaces the reference's RL training loops; BASELINE.json north star).
+
+Usage: python run_mpc.py --simcase bump-on-tail --max_mode 4 \\
+           --n_candidates 512 --horizon 10 --plan_particles 1024 --plan_mesh 64
+"""
+
+import jax
+import numpy as np
+
+from plasma_control_tpu.cli import (
+    add_control_args,
+    add_mpc_args,
+    base_parser,
+    build_control_config,
+    build_mpc_config,
+    build_sim_config,
+    compute_cost_traces,
+    run_and_save,
+)
+from plasma_control_tpu.control.actuator import make_actuator
+from plasma_control_tpu.control.evaluate import policy_rollout
+from plasma_control_tpu.control.mpc import mpc_rollout
+from plasma_control_tpu.models.distributions import make_distribution
+from plasma_control_tpu.models.pic import init_state
+from plasma_control_tpu.models.rollout import rollout
+from plasma_control_tpu.ops.grid import make_grid
+
+
+def main():
+    p = add_mpc_args(add_control_args(base_parser("PIC simulation with receding-horizon MPC E-field control")))
+    args = vars(p.parse_args())
+    cfg = build_sim_config(args)
+    ctrl = build_control_config(args)
+    mpc = build_mpc_config(args)
+
+    grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
+    actuator = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode, endpoint_grid=ctrl.endpoint_grid)
+    state = init_state(cfg, jax.random.PRNGKey(cfg.seed))
+
+    out = mpc_rollout(state, grid, cfg, ctrl, mpc, actuator, jax.random.PRNGKey(cfg.seed + 1))
+
+    # re-play the recorded control sequence to collect snapshots
+    coeffs = out.coeffs  # (T, 2K)
+    replay = rollout(
+        state, grid, cfg,
+        e_external_traj=actuator.compute_e_packed(coeffs),
+        record_snapshots=True,
+    )
+    snapshot = np.concatenate([np.asarray(replay.xs).T, np.asarray(replay.vs).T], axis=0)
+    coeff_cos = np.asarray(coeffs[:, : ctrl.max_mode]).T
+    coeff_sin = np.asarray(coeffs[:, ctrl.max_mode :]).T
+    costs = compute_cost_traces(snapshot, cfg, ctrl, coeffs=np.asarray(coeffs))
+
+    high_idx = None
+    if cfg.simcase == "bump-on-tail":
+        high_idx = np.asarray(make_distribution(cfg).high_indices())
+
+    run_and_save(
+        "mpc-control", args, cfg, ctrl, snapshot, replay.hamiltonian, replay.field_energy,
+        coeff_cos=coeff_cos, coeff_sin=coeff_sin, costs=costs, high_idx=high_idx,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""End-to-end CLI smoke tests: each run script on a tiny config produces the
+data + plot artifact set (SURVEY §2.4 entry-point parity)."""
+
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+TINY = [
+    "--num_particle", "400",
+    "--num_mesh", "32",
+    "--t_max", "3.0",
+    "--is_save",
+]
+
+
+def run_script(tmp_path, script, extra):
+    argv = [script] + TINY + [
+        "--save_file", str(tmp_path / "dataset"),
+        "--save_plot", str(tmp_path / "result"),
+    ] + extra
+    old = sys.argv
+    sys.argv = argv
+    try:
+        runpy.run_path(os.path.join(os.path.dirname(__file__), "..", script), run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def check_artifacts(tmp_path, tag, controlled=True):
+    d = tmp_path / "dataset" / "two-stream" / tag
+    r = tmp_path / "result" / "two-stream" / tag
+    assert (d / "data.mat").exists()
+    assert (d / "data.npz").exists()
+    for f in ["log_E.pdf", "Ek_spectrum.pdf", "Ek_t.pdf", "phase_space_evolution.pdf", "x_dist.pdf", "v_dist.pdf", "cost.pdf"]:
+        assert (r / f).exists(), f
+    if controlled:
+        assert (r / "Ek_t_external.pdf").exists()
+
+    from plasma_control_tpu.io.export import load_run
+
+    data = load_run(str(d / "data.npz"))
+    assert data["snapshot"].shape[0] == 2 * 400
+    assert np.isfinite(data["PE"]).all()
+
+
+class TestRunScripts:
+    def test_run_wo_oc(self, tmp_path):
+        run_script(tmp_path, "run_wo_oc.py", [])
+        check_artifacts(tmp_path, "wo-oc", controlled=False)
+
+    def test_run_feedback(self, tmp_path):
+        run_script(tmp_path, "run_feedback.py", ["--max_mode", "2"])
+        check_artifacts(tmp_path, "feedback")
+
+    def test_run_mpc(self, tmp_path):
+        run_script(
+            tmp_path, "run_mpc.py",
+            ["--max_mode", "2", "--n_candidates", "16", "--horizon", "3"],
+        )
+        check_artifacts(tmp_path, "mpc-control")
+
+    def test_run_ddpg_train_and_eval(self, tmp_path):
+        run_script(
+            tmp_path, "run_ddpg.py",
+            ["--max_mode", "2", "--optimize", "--num_episode", "1", "--mlp_dim", "8",
+             "--capacity", "128", "--batch_size", "8", "--min_buffer_size", "16", "--update_freq", "8"],
+        )
+        check_artifacts(tmp_path, "ddpg-control")
+        assert (tmp_path / "dataset" / "two-stream" / "ddpg-control" / "ddpg_best.msgpack").exists()
+
+    def test_run_ppo_eval_only(self, tmp_path):
+        run_script(tmp_path, "run_ppo.py", ["--max_mode", "2", "--mlp_dim", "8"])
+        check_artifacts(tmp_path, "ppo-control")
+
+    def test_run_sac_eval_only(self, tmp_path):
+        run_script(
+            tmp_path, "run_sac.py",
+            ["--max_mode", "2", "--mlp_dim", "8"],
+        )
+        check_artifacts(tmp_path, "sac-control")
