@@ -35,7 +35,7 @@ class SimConfig:
     perturb_mode: int = 2  # n_mode
     bump_a: float = 0.2  # bump-on-tail beam fraction parameter
     interpol: Literal["cic", "tsc", "tsc_standard"] = "cic"
-    deposit_method: Literal["dense", "scatter"] = "dense"
+    deposit_method: Literal["dense", "scatter", "pallas"] = "dense"
     integrator: Literal["yoshida4", "verlet", "symplectic_euler"] = "yoshida4"
     seed: int = 42
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from .grid import Grid
 
 Kind = Literal["cic", "tsc", "tsc_standard"]
-Method = Literal["dense", "scatter"]
+Method = Literal["dense", "scatter", "pallas"]
 
 __all__ = ["deposit", "gather", "shape_weights_dense", "deposit_and_gather_indices"]
 
@@ -123,7 +123,13 @@ def deposit(
     `/root/reference/src/env/interpolate.py:16-18`.
     """
     n_particles = x.shape[0]
-    if method == "dense":
+    if method == "pallas":
+        if kind != "cic":
+            raise ValueError("pallas deposit supports kind='cic' only")
+        from .pallas.cic_pallas import deposit_cic_pallas
+
+        n = deposit_cic_pallas(jnp.mod(x, grid.length), grid.n_mesh, grid.length)
+    elif method == "dense":
         w = shape_weights_dense(jnp.mod(x, grid.length), grid, kind)
         n = jnp.sum(w, axis=0)
     else:
@@ -149,6 +155,12 @@ def gather(
     Equivalent to the weighted fancy-index gather in
     `/root/reference/src/env/util.py:105-111`.
     """
+    if method == "pallas":
+        if kind != "cic":
+            raise ValueError("pallas gather supports kind='cic' only")
+        from .pallas.cic_pallas import gather_cic_pallas
+
+        return gather_cic_pallas(field_mesh, jnp.mod(x, grid.length), grid.n_mesh, grid.length)
     if method == "dense":
         w = shape_weights_dense(jnp.mod(x, grid.length), grid, kind)
         # (N, M) @ (M,) — MXU matvec; XLA fuses the weight computation in.
