@@ -1,0 +1,77 @@
+"""Timing and profiling harness (SURVEY §5: the reference has none — only
+tqdm bars).
+
+Two measurement modes:
+
+* :func:`time_fn` — classic warm-up + repeat + block timing. Accurate on
+  directly-attached devices.
+* :func:`slope_time` — chains R data-dependent iterations of the op inside a
+  single compiled ``lax.scan`` and differences wall times for two values of
+  R. This is robust against environments where dispatch is asynchronous and
+  per-call round-trip latency dominates (e.g. remote/tunneled TPU attachments
+  where ``block_until_ready`` semantics are unreliable) — only the on-device
+  slope survives the subtraction. Results are materialized with np.asarray.
+
+:func:`profile_trace` wraps ``jax.profiler`` for kernel-level inspection.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["time_fn", "slope_time", "profile_trace"]
+
+
+def time_fn(fn: Callable, *args, reps: int = 10, warmup: int = 1) -> float:
+    """Mean seconds per call (warm-up excluded), result materialized."""
+    for _ in range(warmup):
+        np.asarray(jax.tree.leaves(fn(*args))[0])
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / reps
+
+
+def slope_time(step_fn: Callable, carry0, r1: int = 2, r2: int = 52) -> float:
+    """Seconds per iteration of ``carry = step_fn(carry)`` measured by the
+    two-length scan-chain slope (latency/dispatch effects cancel)."""
+
+    def chained(r):
+        @jax.jit
+        def run(c):
+            def body(c, _):
+                return step_fn(c), ()
+
+            c, _ = jax.lax.scan(body, c, None, length=r)
+            return c
+
+        return run
+
+    f1, f2 = chained(r1), chained(r2)
+    np.asarray(jax.tree.leaves(f1(carry0))[0])
+    np.asarray(jax.tree.leaves(f2(carry0))[0])
+    t0 = time.perf_counter()
+    np.asarray(jax.tree.leaves(f1(carry0))[0])
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(jax.tree.leaves(f2(carry0))[0])
+    tb = time.perf_counter() - t0
+    return max(tb - ta, 0.0) / (r2 - r1)
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str = "/tmp/jax-trace"):
+    """jax.profiler trace context; view with TensorBoard/xprof."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
