@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["FourierActuator", "make_actuator"]
+__all__ = ["FourierActuator", "EField", "make_actuator"]
 
 
 @partial(
@@ -66,6 +66,51 @@ class FourierActuator:
         ``Reward.compute_input_energy``,
         `/root/reference/src/control/rl/reward.py:52-54`)."""
         return jnp.sum(coeffs**2, axis=-1) * self.length * 0.25
+
+
+class EField:
+    """Stateful convenience wrapper mirroring the reference class API
+    (`/root/reference/src/control/actuator.py:4-63`): ``update_params``,
+    ``reinit``, ``update_E``, ``compute_E`` with held coefficients. The
+    functional :class:`FourierActuator` is the compiled-path citizen; this
+    class exists for drop-in script parity."""
+
+    def __init__(self, length: float, n_mesh: int, max_mode: int, endpoint_grid: bool = True):
+        self.length = length
+        self.n_mesh = n_mesh
+        self.max_mode = max_mode
+        self.endpoint_grid = endpoint_grid
+        self.reinit()
+
+    def update_params(self, **kwargs):
+        changed = False
+        for k, v in kwargs.items():
+            if hasattr(self, k) and v is not None:
+                setattr(self, k, v)
+                changed = True
+        if changed:
+            self.reinit()
+
+    def reinit(self):
+        self.actuator = make_actuator(self.length, self.n_mesh, self.max_mode, self.endpoint_grid)
+        self.coeff_cos = jnp.zeros(self.max_mode)
+        self.coeff_sin = jnp.zeros(self.max_mode)
+
+    def update_e(self, coeff_cos=None, coeff_sin=None):
+        if coeff_cos is not None:
+            self.coeff_cos = jnp.asarray(coeff_cos).reshape(-1)
+        if coeff_sin is not None:
+            self.coeff_sin = jnp.asarray(coeff_sin).reshape(-1)
+
+    # reference-name alias
+    update_E = update_e
+
+    def compute_e(self, coeff_cos=None, coeff_sin=None) -> jax.Array:
+        a = self.coeff_cos if coeff_cos is None else jnp.asarray(coeff_cos).reshape(-1)
+        b = self.coeff_sin if coeff_sin is None else jnp.asarray(coeff_sin).reshape(-1)
+        return self.actuator.compute_e(a, b)
+
+    compute_E = compute_e
 
 
 def make_actuator(

@@ -130,6 +130,20 @@ class PIC:
         """Full resample (parity with ``PIC.reinit``, `pic.py:84-91`)."""
         self.initialize()
 
+    def update_params(self, **kwargs):
+        """Update config fields and rebuild derived state (parity with
+        ``PIC.update_params``, `pic.py:81-84`; config is immutable here so a
+        new SimConfig is derived)."""
+        import dataclasses as _dc
+
+        valid = {k: v for k, v in kwargs.items() if v is not None and hasattr(self.cfg, k)}
+        if not valid:
+            return
+        self.cfg = _dc.replace(self.cfg, **valid)
+        self.grid = jax.device_put(make_grid(self.cfg.n_mesh, self.cfg.length, dtype=self.dtype))
+        self.dist = make_distribution(self.cfg)
+        self.initialize()
+
     # -- stepping ----------------------------------------------------------
     def update_state(self, e_external: Optional[jax.Array] = None):
         self.state = step(self.state, self.grid, self.cfg, e_external)
