@@ -100,6 +100,12 @@ class MPCConfig:
     # plan at full fidelity.
     plan_particles: Optional[int] = None
     plan_mesh: Optional[int] = None
+    # Cost fidelity: True (default) recomputes the field at the exact
+    # post-step positions for the PE cost (one extra deposit+solve per step);
+    # False reuses the field of the last kick substage — ~14% faster solves
+    # but measurably weaker suppression (the half-stage-stale PE biases
+    # candidate ranking), so it is opt-in.
+    exact_cost_energy: bool = True
 
 
 def preset(name: str, **overrides) -> SimConfig:

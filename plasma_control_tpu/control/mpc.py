@@ -88,6 +88,41 @@ class MPCOutput(NamedTuple):
     plan_cost: jax.Array  # (T,) best candidate cost at each solve
 
 
+def _step_and_pe(
+    state: PlasmaState,
+    e_ext: jax.Array,
+    grid: Grid,
+    cfg: SimConfig,
+    exact: bool,
+):
+    """One Yoshida step returning (state, PE). With ``exact=False`` the PE
+    reuses the self-consistent field of the last kick substage (saves one of
+    four deposit+solve pipelines per step; positions differ by one c4-drift,
+    which preserves candidate ranking)."""
+    from ..ops.deposit import deposit as _dep, gather as _gat
+    from ..ops.fields import electric_energy, solve_e_mesh
+    from ..ops.integrate import yoshida4_coefficients
+
+    if cfg.integrator != "yoshida4" or exact:
+        new = step(state, grid, cfg, e_ext)
+        pe, _ = _energies(new, grid, cfg)
+        return new, pe
+
+    cs, ds = yoshida4_coefficients()
+    dt = cfg.clamped_dt()
+    x, v = state.x, state.v
+    x = x + cs[0] * dt * v
+    e_self = None
+    for c, d in zip(cs[1:], ds):
+        n = _dep(x, grid, n0=cfg.n0, kind=cfg.interpol, method=cfg.deposit_method)
+        e_self = solve_e_mesh(n, grid, cfg.n0)
+        accel = -_gat(e_self + e_ext, x, grid, kind=cfg.interpol, method=cfg.deposit_method)
+        v = v + d * dt * accel
+        x = x + c * dt * v
+    pe = electric_energy(e_self, grid, cfg.n_particles)
+    return PlasmaState(jnp.mod(x, cfg.length), v), pe
+
+
 def _horizon_cost(
     state: PlasmaState,
     coeff_seq: jax.Array,  # (H, 2K)
@@ -100,8 +135,7 @@ def _horizon_cost(
 
     def body(carry: PlasmaState, u):
         e_ext = actuator.compute_e_packed(u)
-        new = step(carry, grid, cfg, e_ext)
-        pe, _ = _energies(new, grid, cfg)
+        new, pe = _step_and_pe(carry, e_ext, grid, cfg, mpc.exact_cost_energy)
         c = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
         return new, c
 
