@@ -106,6 +106,12 @@ class MPCConfig:
     # but measurably weaker suppression (the half-stage-stale PE biases
     # candidate ranking), so it is opt-in.
     exact_cost_energy: bool = True
+    # Gradient refinement (the SURVEY §7 'QP correction' analogue): after the
+    # sampling update, run n_grad_iters Adam steps on the horizon cost wrt
+    # the nominal sequence, differentiating through the PIC rollout
+    # (rematerialized per step). 0 disables.
+    n_grad_iters: int = 0
+    grad_lr: float = 0.05
 
 
 def preset(name: str, **overrides) -> SimConfig:

@@ -151,6 +151,41 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
     return jax.vmap(lambda u: _horizon_cost(state, u, grid, cfg, mpc, actuator))(coeff_seqs)
 
 
+def _gradient_refine(state, mean, grid, cfg, ctrl, mpc, actuator):
+    """Local trajectory optimization: Adam on the horizon cost wrt the
+    nominal control sequence, with gradients flowing *through the PIC
+    dynamics* (differentiable simulation; each step rematerialized to bound
+    memory). This is the deterministic 'QP-correction' refinement layered on
+    the sampling solve (SURVEY §7)."""
+
+    def cost_fn(u):
+        def body(carry: PlasmaState, ut):
+            e_ext = actuator.compute_e_packed(ut)
+            new = jax.checkpoint(lambda s, e: step(s, grid, cfg, e))(carry, e_ext)
+            pe, _ = _energies(new, grid, cfg)
+            return new, mpc.w_field * pe + mpc.w_input * actuator.input_energy(ut)
+
+        _, costs = jax.lax.scan(body, state, u)
+        return jnp.sum(costs)
+
+    import optax
+
+    tx = optax.adam(mpc.grad_lr)
+
+    def one_iter(carry, _):
+        u, opt = carry
+        _, g = jax.value_and_grad(cost_fn)(u)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)  # divergence guard
+        upd, opt = tx.update(g, opt, u)
+        u = jnp.clip(optax.apply_updates(u, upd), ctrl.coeff_min, ctrl.coeff_max)
+        return (u, opt), None
+
+    (refined, _), _ = jax.lax.scan(one_iter, (mean, tx.init(mean)), None, length=mpc.n_grad_iters)
+    # keep the refinement only if it actually lowered the cost
+    better = cost_fn(refined) < cost_fn(mean)
+    return jnp.where(better, refined, mean)
+
+
 @partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc"))
 def plan(
     state: PlasmaState,
@@ -200,6 +235,9 @@ def plan(
         keys = jax.random.split(key, mpc.n_iters)
         (new_mean, _), bests = jax.lax.scan(cem_iter, (mean, jnp.broadcast_to(sigma, mean.shape)), keys)
         best = bests[-1]
+
+    if mpc.n_grad_iters > 0:
+        new_mean = _gradient_refine(state, new_mean, grid, cfg, ctrl, mpc, actuator)
 
     return new_mean[0], new_mean, best
 

@@ -108,3 +108,34 @@ class TestClosedLoop:
         assert out.coeffs.shape == (t, 4)
         assert out.field_energy.shape == (t,)
         assert out.plan_cost.shape == (t,)
+
+
+class TestGradientRefinement:
+    def test_grad_refine_reduces_cost(self):
+        """Differentiable-simulation refinement must not increase the
+        horizon cost, and typically reduces it below the sampling-only plan."""
+        from plasma_control_tpu.control.mpc import _gradient_refine, _horizon_cost
+
+        cfg = tiny_cfg(n_particles=1000, n_mesh=32)
+        ctrl = ControlConfig(max_mode=2)
+        mpc = MPCConfig(horizon=4, n_candidates=8, n_grad_iters=10, grad_lr=0.05, w_input=0.01)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(42))
+
+        mean = jnp.zeros((4, 4))
+        c0 = float(_horizon_cost(st, mean, grid, cfg, mpc, act))
+        refined = _gradient_refine(st, mean, grid, cfg, ctrl, mpc, act)
+        c1 = float(_horizon_cost(st, refined, grid, cfg, mpc, act))
+        assert c1 <= c0 + 1e-5, f"refined {c1} vs initial {c0}"
+        assert c1 < c0, "gradient refinement made no progress"
+
+    def test_plan_with_refinement_runs(self):
+        cfg = tiny_cfg()
+        ctrl = ControlConfig(max_mode=2)
+        mpc = MPCConfig(horizon=3, n_candidates=8, n_grad_iters=2)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        action, new_mean, best = plan(st, jnp.zeros((3, 4)), jnp.asarray(0.3), jax.random.PRNGKey(1), grid, cfg, ctrl, mpc, act)
+        assert np.isfinite(np.asarray(action)).all()
