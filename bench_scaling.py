@@ -1,0 +1,213 @@
+"""Scaling benchmark across the BASELINE.json configurations.
+
+Runs whatever the attached hardware supports and prints one JSON line per
+config (the driver-facing single-line benchmark is bench.py; this script is
+the full matrix for manual/scaling studies):
+
+  1. two-stream uncontrolled push, N=10k / 64 cells           (1 chip)
+  2. bump-on-tail feedback, single mode — damping-rate check   (1 chip)
+  3. bump-on-tail MPC, 4 modes, 512 rollouts/solve             (1 chip)
+  4. joint benchmark, 8 modes, N=100k / 256 cells, 4096 rollouts
+  5. particle-sharded step at large N over all devices (psum of density)
+
+Usage: python bench_scaling.py [--configs 1,2,3]
+On CPU it can be forced to a virtual mesh:
+  JAX_PLATFORMS=cpu python bench_scaling.py --configs 5 --virtual_devices 8
+(note: this environment pins JAX_PLATFORMS via sitecustomize; use
+--force_cpu to override from inside the process.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _emit(name, value, unit, **extra):
+    print(json.dumps({"config": name, "value": round(value, 3), "unit": unit, **extra}))
+
+
+def config1():
+    import jax
+
+    from plasma_control_tpu.config import SimConfig
+    from plasma_control_tpu.models.pic import init_state
+    from plasma_control_tpu.models.rollout import rollout
+    from plasma_control_tpu.ops.grid import make_grid
+
+    cfg = SimConfig(simcase="two-stream", n_particles=10_000, n_mesh=64, dt=0.1)
+    grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
+    st = init_state(cfg, jax.random.PRNGKey(0))
+    roll = jax.jit(lambda s: rollout(s, grid, cfg, n_steps=500).final_state)
+    np.asarray(roll(st).x)  # compile
+    t0 = time.perf_counter()
+    np.asarray(roll(st).x)
+    dt = time.perf_counter() - t0
+    _emit("1-uncontrolled-push", 500 / dt, "steps/s", n=cfg.n_particles, mesh=cfg.n_mesh)
+
+
+def config2():
+    import jax
+    import jax.numpy as jnp
+
+    from plasma_control_tpu.config import ControlConfig, SimConfig
+    from plasma_control_tpu.control.actuator import make_actuator
+    from plasma_control_tpu.control.feedback import feedback_rollout
+    from plasma_control_tpu.diag.landau import damping_rate_from_field_energy
+    from plasma_control_tpu.models.pic import init_state
+    from plasma_control_tpu.models.rollout import rollout
+    from plasma_control_tpu.ops.grid import make_grid
+
+    cfg = SimConfig(simcase="bump-on-tail", n_particles=10_000, n_mesh=128, dt=0.1, t_max=30.0)
+    ctrl = ControlConfig(max_mode=1)
+    grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
+    act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+    st = init_state(cfg, jax.random.PRNGKey(0))
+    un = rollout(st, grid, cfg)
+    fb = feedback_rollout(st, grid, cfg, ctrl, act)
+    ts = jnp.linspace(0, cfg.t_max, cfg.n_steps)
+    g_un = float(damping_rate_from_field_energy(ts, un.field_energy[1:]))
+    g_fb = float(damping_rate_from_field_energy(ts, fb.field_energy))
+    _emit("2-feedback-damping", g_fb - g_un, "dgamma", gamma_uncontrolled=round(g_un, 5), gamma_feedback=round(g_fb, 5))
+
+
+def config3():
+    import jax
+    import jax.numpy as jnp
+
+    from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+    from plasma_control_tpu.control.actuator import make_actuator
+    from plasma_control_tpu.control.mpc import plan
+    from plasma_control_tpu.models.pic import init_state
+    from plasma_control_tpu.ops.grid import make_grid
+
+    cfg = SimConfig(simcase="bump-on-tail", n_particles=5000, n_mesh=250, dt=0.1)
+    ctrl = ControlConfig(max_mode=4)
+    mpc = MPCConfig(horizon=10, n_candidates=512, plan_particles=1024, plan_mesh=64)
+    grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
+    act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+    st = init_state(cfg, jax.random.PRNGKey(0))
+    mean = jnp.zeros((mpc.horizon, ctrl.n_actions), jnp.float32)
+    sigma = jnp.asarray(mpc.sigma0, jnp.float32)
+    reps = 50
+
+    @jax.jit
+    def chain(s, m, k):
+        def body(carry, kk):
+            a, nm, best = plan(s, carry, sigma, kk, grid, cfg, ctrl, mpc, act)
+            return nm, best
+
+        _, bests = jax.lax.scan(body, m, jax.random.split(k, reps))
+        return bests
+
+    np.asarray(chain(st, mean, jax.random.PRNGKey(1)))
+    t0 = time.perf_counter()
+    np.asarray(chain(st, mean, jax.random.PRNGKey(2)))
+    _emit("3-mpc-1chip", reps / (time.perf_counter() - t0), "solves/s", K=512, H=10)
+
+
+def config4():
+    import jax
+    import jax.numpy as jnp
+
+    from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+    from plasma_control_tpu.control.actuator import make_actuator
+    from plasma_control_tpu.control.mpc import plan
+    from plasma_control_tpu.models.pic import init_state
+    from plasma_control_tpu.ops.grid import make_grid
+
+    cfg = SimConfig(simcase="bump-on-tail", n_particles=100_000, n_mesh=256, dt=0.1)
+    ctrl = ControlConfig(max_mode=8)
+    mpc = MPCConfig(horizon=10, n_candidates=4096, plan_particles=2048, plan_mesh=64)
+    grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
+    act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+    st = init_state(cfg, jax.random.PRNGKey(0))
+    mean = jnp.zeros((mpc.horizon, ctrl.n_actions), jnp.float32)
+    sigma = jnp.asarray(mpc.sigma0, jnp.float32)
+    reps = 10
+
+    @jax.jit
+    def chain(s, m, k):
+        def body(carry, kk):
+            a, nm, best = plan(s, carry, sigma, kk, grid, cfg, ctrl, mpc, act)
+            return nm, best
+
+        _, bests = jax.lax.scan(body, m, jax.random.split(k, reps))
+        return bests
+
+    np.asarray(chain(st, mean, jax.random.PRNGKey(1)))
+    t0 = time.perf_counter()
+    np.asarray(chain(st, mean, jax.random.PRNGKey(2)))
+    _emit("4-mpc-joint", reps / (time.perf_counter() - t0), "solves/s", K=4096, H=10, N=100_000)
+
+
+def config5():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from plasma_control_tpu.config import SimConfig
+    from plasma_control_tpu.models.pic import init_state
+    from plasma_control_tpu.ops.grid import make_grid
+    from plasma_control_tpu.parallel.mesh import make_mesh
+    from plasma_control_tpu.parallel.pic_shard import make_particle_sharded_step
+
+    n_dev = len(jax.devices())
+    n = 1_000_000 // n_dev * n_dev
+    cfg = SimConfig(simcase="two-stream", n_particles=n, n_mesh=256, dt=0.1)
+    grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
+    mesh = make_mesh(axis_names=("particle",))
+    st = init_state(cfg, jax.random.PRNGKey(0))
+    sh = NamedSharding(mesh, P("particle"))
+    x = jax.device_put(st.x, sh)
+    v = jax.device_put(st.v, sh)
+    step_fn = make_particle_sharded_step(mesh, grid, cfg)
+    e0 = jnp.zeros(cfg.n_mesh)
+
+    steps = 20
+
+    @jax.jit
+    def chain(x, v):
+        def body(c, _):
+            return step_fn(c[0], c[1], e0), ()
+
+        (x, v), _ = jax.lax.scan(body, (x, v), None, length=steps)
+        return x
+
+    np.asarray(chain(x, v)[:4])
+    t0 = time.perf_counter()
+    np.asarray(chain(x, v)[:4])
+    dt = time.perf_counter() - t0
+    _emit("5-particle-sharded-push", steps / dt, "steps/s", N=n, devices=n_dev,
+          particles_per_s=round(steps * n / dt, 0))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default="1,2,3,4,5")
+    p.add_argument("--force_cpu", action="store_true")
+    p.add_argument("--virtual_devices", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.virtual_devices:
+        jax.config.update("jax_num_cpu_devices", args.virtual_devices)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    fns = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
+    for c in args.configs.split(","):
+        try:
+            fns[c.strip()]()
+        except Exception as e:
+            print(json.dumps({"config": c, "error": f"{type(e).__name__}: {e}"[:200]}))
+
+
+if __name__ == "__main__":
+    main()

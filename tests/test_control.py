@@ -180,3 +180,21 @@ class TestFeedback:
         assert fb.coeff_cos.shape == (t, 2)
         assert fb.field_energy.shape == (t,)
         assert fb.xs.shape == (t + 1, cfg.n_particles)
+
+
+class TestEFieldStateful:
+    def test_reference_api_surface(self):
+        """EField mirrors the reference class (`actuator.py:4-63`)."""
+        from plasma_control_tpu.control.actuator import EField
+
+        ef = EField(50.0, 64, 3)
+        e0 = np.asarray(ef.compute_E())
+        np.testing.assert_allclose(e0, 0.0, atol=1e-7)
+        ef.update_E(coeff_cos=np.array([1.0, 0, 0]), coeff_sin=np.array([0.0, 0, 0]))
+        e1 = np.asarray(ef.compute_E())
+        xm = np.linspace(0, 50.0, 64)
+        np.testing.assert_allclose(e1, np.cos(2 * np.pi * xm / 50.0), atol=1e-5)
+        ef.update_params(max_mode=2)
+        assert ef.actuator.basis_cos.shape == (64, 2)
+        ef.reinit()
+        np.testing.assert_allclose(np.asarray(ef.compute_E()), 0.0, atol=1e-7)

@@ -74,3 +74,18 @@ class TestTiming:
         assert t >= 0.0
         t2 = time_fn(jax.jit(lambda x: x + 1), jnp.ones(16), reps=3)
         assert t2 > 0.0
+
+
+class TestMetrics:
+    def test_jsonl_logging(self, tmp_path):
+        import json
+        from plasma_control_tpu.utils.metrics import MetricsLogger
+
+        path = str(tmp_path / "m.jsonl")
+        with MetricsLogger(path, run="test") as log:
+            log.log("step", t=1, pe=jnp.asarray(0.5))
+            log.log_series("trace", {"pe": np.arange(3.0)})
+        lines = [json.loads(l) for l in open(path)]
+        assert lines[0]["kind"] == "step" and lines[0]["run"] == "test"
+        assert lines[0]["pe"] == 0.5
+        assert lines[1]["pe"] == [0.0, 1.0, 2.0]

@@ -95,3 +95,22 @@ class TestMesh2D:
     def test_2d_mesh_construction(self, devices8):
         mesh = make_mesh(axis_sizes=(4, 2), axis_names=("rollout", "particle"))
         assert mesh.shape == {"rollout": 4, "particle": 2}
+
+
+class TestLargeNSharding:
+    def test_million_scale_particle_step(self, devices8):
+        """Particle axis sharded over 8 devices at large N (config-5 shape,
+        scaled down for CI): one step runs and conserves charge."""
+        import jax.numpy as jnp
+        from plasma_control_tpu.ops.deposit import deposit
+
+        cfg = cfgs(n_particles=2**16, n_mesh=128)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        mesh = make_mesh(axis_names=("particle",))
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        step_fn = make_particle_sharded_step(mesh, grid, cfg)
+        x, v = shard_batch((st.x, st.v), mesh, axis="particle")
+        x2, v2 = step_fn(x, v, jnp.zeros(cfg.n_mesh))
+        n = deposit(jnp.asarray(x2), grid)
+        total = float(jnp.sum(n)) * grid.dx
+        assert abs(total - cfg.length) < 1e-2
