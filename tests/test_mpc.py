@@ -139,3 +139,25 @@ class TestGradientRefinement:
         st = init_state(cfg, jax.random.PRNGKey(0))
         action, new_mean, best = plan(st, jnp.zeros((3, 4)), jnp.asarray(0.3), jax.random.PRNGKey(1), grid, cfg, ctrl, mpc, act)
         assert np.isfinite(np.asarray(action)).all()
+
+
+class TestMPCBeatsFeedback:
+    def test_mpc_outperforms_feedback_suppression(self):
+        """The sampling MPC must suppress the two-stream field energy at
+        least as well as the phase-conjugate feedback expert (measured:
+        ~60 vs ~102 tail PE at this config; threshold leaves 20% slack)."""
+        from plasma_control_tpu.control.feedback import feedback_rollout
+
+        cfg = tiny_cfg(n_particles=2000, n_mesh=64, t_max=25.0)
+        ctrl = ControlConfig(max_mode=3)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(42))
+
+        fb = feedback_rollout(st, grid, cfg, ctrl, act)
+        mpc = MPCConfig(horizon=8, n_candidates=128, temperature=0.05, sigma0=0.3, w_input=0.05)
+        out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(0))
+
+        pe_fb = float(jnp.mean(fb.field_energy[-50:]))
+        pe_mpc = float(jnp.mean(out.field_energy[-50:]))
+        assert pe_mpc < 0.8 * pe_fb, f"mpc {pe_mpc} vs feedback {pe_fb}"
