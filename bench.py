@@ -92,7 +92,7 @@ def main():
     # Persistent compilation cache: the MPC solve-chain XLA program is large
     # and remote compile latency is highly variable (40-370s observed);
     # caching makes repeat bench runs start in seconds.
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -198,7 +198,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.virtual_devices:
         jax.config.update("jax_num_cpu_devices", args.virtual_devices)
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     fns = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
