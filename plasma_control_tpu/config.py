@@ -112,6 +112,10 @@ class MPCConfig:
     # (rematerialized per step). 0 disables.
     n_grad_iters: int = 0
     grad_lr: float = 0.05
+    # Seed the candidate pool with the phase-conjugate feedback action
+    # (computed at the current state, held over the horizon). Guarantees the
+    # sampler never does worse than the hand-crafted expert at solve time.
+    seed_feedback: bool = True
 
 
 def preset(name: str, **overrides) -> SimConfig:

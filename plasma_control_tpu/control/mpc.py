@@ -206,11 +206,26 @@ def plan(
     if actuator.n_mesh != grid.n_mesh:
         actuator = _actuator_cache(cfg.length, grid.n_mesh, actuator.max_mode, mean.dtype)
 
+    if mpc.seed_feedback and mpc.n_candidates >= 2:
+        # phase-conjugate expert action at the current (plan) state, held
+        # over the horizon (`run_feedback.py:130-143` law as a seed)
+        from ..control.feedback import feedback_coefficients
+        from ..ops.deposit import deposit as _dep
+        from ..ops.fields import solve_e_mesh as _solve
+
+        dens = _dep(state.x, grid, n0=cfg.n0, kind=cfg.interpol, method=cfg.deposit_method)
+        fa, fb_ = feedback_coefficients(_solve(dens, grid, cfg.n0), ctrl.max_mode)
+        fb_seq = jnp.broadcast_to(jnp.concatenate([fa, fb_]), (h, d)).astype(mean.dtype)
+    else:
+        fb_seq = None
+
     def sample(k):
         eps = jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype)
         cand = mean[None] + sigma * eps
         # keep the nominal itself in the pool (index 0): never regress
         cand = cand.at[0].set(mean)
+        if fb_seq is not None:
+            cand = cand.at[1].set(fb_seq)
         return jnp.clip(cand, ctrl.coeff_min, ctrl.coeff_max)
 
     if mpc.algo == "mppi":
@@ -225,6 +240,8 @@ def plan(
             eps = jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype)
             cand = jnp.clip(mu[None] + sd * eps, ctrl.coeff_min, ctrl.coeff_max)
             cand = cand.at[0].set(mu)
+            if fb_seq is not None:
+                cand = cand.at[1].set(jnp.clip(fb_seq, ctrl.coeff_min, ctrl.coeff_max))
             costs = candidate_costs(state, cand, grid, cfg, mpc, actuator)
             _, elite_idx = jax.lax.top_k(-costs, mpc.n_elites)
             elites = cand[elite_idx]
