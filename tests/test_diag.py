@@ -1,0 +1,94 @@
+"""Diagnostics tests: spectrum, Landau rates, entropy."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plasma_control_tpu.config import SimConfig
+from plasma_control_tpu.diag.landau import (
+    compute_bounce_time,
+    compute_linear_damping_rate,
+    compute_linear_damping_rate_analytic,
+    compute_numerical_entropy,
+    damping_rate_from_field_energy,
+)
+from plasma_control_tpu.diag.spectrum import compute_e_k_spectrum, e_k_coefficients, spectrum_wavenumbers
+from plasma_control_tpu.models.pic import init_state
+from plasma_control_tpu.models.rollout import rollout, snapshot_from_rollout
+from plasma_control_tpu.ops.grid import make_grid
+
+L, M = 50.0, 64
+
+
+class TestSpectrum:
+    def test_wavenumbers_match_fftfreq_mask(self):
+        dx = L / M
+        ks = spectrum_wavenumbers(M, dx)
+        ref = np.fft.fftfreq(M, d=dx) * 2 * np.pi
+        np.testing.assert_allclose(ks, ref[ref >= 0])
+        ks_odd = spectrum_wavenumbers(63, L / 63)
+        assert len(ks_odd) == 32
+
+    def test_coefficients_normalization(self, rng):
+        e = rng.standard_normal(M)
+        ek = np.asarray(e_k_coefficients(jnp.asarray(e, dtype=jnp.float32)))
+        ref = np.fft.fft(e) / M * 2.0
+        np.testing.assert_allclose(ek, ref, atol=1e-5)
+
+    def test_single_mode_detection(self, rng):
+        """A sinusoidal particle density perturbation shows up in exactly the
+        matching E_k row of the spectrum."""
+        cfg = SimConfig(n_particles=20000, n_mesh=M, length=L)
+        grid = make_grid(M, L)
+        # positions with mode-3 density modulation via inverse transform
+        u = rng.uniform(0, 1, cfg.n_particles)
+        x = u * L  # uniform base
+        x = x - 0.4 * np.sin(2 * np.pi * 3 * x / L) * L / (2 * np.pi * 3)  # warp
+        snapshot = jnp.asarray(
+            np.concatenate([x, np.zeros(cfg.n_particles)])[:, None], dtype=jnp.float32
+        )
+        spec = np.asarray(compute_e_k_spectrum(1.0, grid, snapshot, M))
+        dominant = int(np.argmax(spec[1:, 0])) + 1
+        assert dominant == 3
+
+    def test_spectrum_shape(self, rng):
+        n = 500
+        snap = jnp.asarray(rng.uniform(0, L, (2 * n, 4)), dtype=jnp.float32)
+        spec = compute_e_k_spectrum(1.0, make_grid(M, L), snap, M)
+        assert spec.shape == (M // 2, 4)
+
+
+class TestLandau:
+    def test_bounce_time(self):
+        assert abs(compute_bounce_time(0.25) - 2.0) < 1e-12
+
+    def test_analytic_rate_positive_and_monotone(self):
+        g1 = compute_linear_damping_rate_analytic(0.5, 1.0, 1.0)
+        g2 = compute_linear_damping_rate_analytic(0.8, 1.0, 1.0)
+        assert g1 > 0 and g2 > 0 and g2 > g1  # stronger damping at larger k*lambda_De
+
+    def test_snapshot_rate_consistent_with_pe_rate(self):
+        """The snapshot-based regression and the recorded-PE regression must
+        give the same growth rate (PE differs by a constant factor only)."""
+        cfg = SimConfig(simcase="two-stream", n_particles=2000, n_mesh=M, dt=0.1, t_max=15.0, length=L)
+        grid = make_grid(M, L)
+        st = init_state(cfg, jax.random.PRNGKey(7))
+        out = rollout(st, grid, cfg, record_snapshots=True)
+        snap = snapshot_from_rollout(out)
+        g_snap = float(compute_linear_damping_rate(cfg.t_max, 1.0, grid, snap, M))
+        ts = jnp.linspace(0, cfg.t_max, cfg.n_steps + 1)
+        g_pe = float(damping_rate_from_field_energy(ts, out.field_energy))
+        assert abs(g_snap - g_pe) < 5e-3
+
+    def test_entropy_finite(self, rng):
+        n = 2000
+        snap = jnp.concatenate(
+            [
+                jnp.asarray(rng.uniform(0, L, n), dtype=jnp.float32),
+                jnp.asarray(rng.standard_normal(n), dtype=jnp.float32),
+            ]
+        )
+        s = float(
+            compute_numerical_entropy(snap, 50, 50, L, L / 50, -10.0, 10.0, 20.0 / 50, 1.0)
+        )
+        assert np.isfinite(s)
