@@ -1,0 +1,88 @@
+"""Segmented, resumable rollouts.
+
+The reference cannot checkpoint a simulation mid-run (weights only, SURVEY
+§5). Here a long rollout is executed in fixed-size segments with the complete
+state (particles + step counter) checkpointed after each segment via Orbax,
+so a preempted run resumes exactly where it stopped — the single-host form of
+multi-host checkpoint-restart.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..models.pic import PlasmaState
+from ..models.rollout import rollout
+from ..ops.grid import Grid
+from .checkpoint import restore_checkpoint, save_checkpoint
+
+__all__ = ["resumable_rollout"]
+
+
+def resumable_rollout(
+    state: PlasmaState,
+    grid: Grid,
+    cfg: SimConfig,
+    ckpt_path: Optional[str] = None,
+    segment_steps: int = 100,
+    e_external_traj: Optional[jax.Array] = None,
+    resume: bool = True,
+):
+    """Open-loop rollout of ``cfg.n_steps`` in segments of ``segment_steps``.
+
+    Returns (final_state, pe, ke, xs, vs) covering the steps executed by
+    THIS call (a fresh run returns the full T+1 series including the initial
+    sample; a resumed run returns the remaining [t_resume, T] segment — the
+    earlier segments were already produced by the interrupted run).
+    If ``ckpt_path`` exists and ``resume``, continues from the stored step.
+    """
+    total = cfg.n_steps
+    like = {
+        "x": np.zeros_like(np.asarray(state.x)),
+        "v": np.zeros_like(np.asarray(state.v)),
+        "t_done": np.asarray(0),
+    }
+
+    t_done = 0
+    pe_parts, ke_parts, xs_parts, vs_parts = [], [], [], []
+
+    if ckpt_path and resume and os.path.exists(ckpt_path):
+        ck = restore_checkpoint(ckpt_path, like=like)
+        t_done = int(ck["t_done"])
+        if 0 < t_done <= total:
+            state = PlasmaState(jnp.asarray(ck["x"]), jnp.asarray(ck["v"]))
+            print(f"# resumed from {ckpt_path} at step {t_done}")
+
+    # the initial sample belongs to a fresh run only — a resumed run's first
+    # state duplicates the interrupted run's last recorded one
+    first = t_done == 0
+    while t_done < total:
+        n = min(segment_steps, total - t_done)
+        e_seg = None if e_external_traj is None else e_external_traj[t_done : t_done + n]
+        out = rollout(state, grid, cfg, e_external_traj=e_seg, record_snapshots=True, n_steps=n)
+        state = out.final_state
+        # first segment contributes the initial sample; later ones drop it
+        sl = slice(None) if first else slice(1, None)
+        pe_parts.append(np.asarray(out.field_energy[sl]))
+        ke_parts.append(np.asarray(out.kinetic[sl]))
+        xs_parts.append(np.asarray(out.xs[sl]))
+        vs_parts.append(np.asarray(out.vs[sl]))
+        first = False
+        t_done += n
+        if ckpt_path:
+            save_checkpoint(
+                ckpt_path,
+                {"x": np.asarray(state.x), "v": np.asarray(state.v), "t_done": np.asarray(t_done)},
+            )
+
+    pe = np.concatenate(pe_parts) if pe_parts else np.zeros(0)
+    ke = np.concatenate(ke_parts) if ke_parts else np.zeros(0)
+    xs = np.concatenate(xs_parts) if xs_parts else None
+    vs = np.concatenate(vs_parts) if vs_parts else None
+    return state, pe, ke, xs, vs

@@ -89,3 +89,45 @@ class TestMetrics:
         assert lines[0]["kind"] == "step" and lines[0]["run"] == "test"
         assert lines[0]["pe"] == 0.5
         assert lines[1]["pe"] == [0.0, 1.0, 2.0]
+
+
+class TestResumableRollout:
+    def test_segmented_matches_unsegmented(self, tmp_path):
+        from plasma_control_tpu.config import SimConfig
+        from plasma_control_tpu.io.resume import resumable_rollout
+        from plasma_control_tpu.models.pic import init_state
+        from plasma_control_tpu.models.rollout import rollout
+        from plasma_control_tpu.ops.grid import make_grid
+
+        cfg = SimConfig(n_particles=500, n_mesh=32, dt=0.1, t_max=4.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+
+        ref = rollout(st, grid, cfg, record_snapshots=True)
+        _, pe, _, xs, _ = resumable_rollout(st, grid, cfg, segment_steps=7)
+        np.testing.assert_allclose(pe, np.asarray(ref.field_energy), rtol=1e-5)
+        np.testing.assert_allclose(xs[-1], np.asarray(ref.xs[-1]), atol=1e-5)
+
+    def test_resume_continues_exactly(self, tmp_path):
+        from plasma_control_tpu.config import SimConfig
+        from plasma_control_tpu.io.resume import resumable_rollout
+        from plasma_control_tpu.models.pic import init_state, PlasmaState
+        from plasma_control_tpu.ops.grid import make_grid
+        import dataclasses
+
+        cfg = SimConfig(n_particles=500, n_mesh=32, dt=0.1, t_max=4.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        ck = str(tmp_path / "ck")
+
+        # "interrupted" run: only the first 20 of 40 steps
+        cfg_half = dataclasses.replace(cfg, t_max=2.0)
+        final_half, *_ = resumable_rollout(st, grid, cfg_half, ckpt_path=ck, segment_steps=10)
+
+        # resumed full run picks up at step 20 and completes
+        final_full, pe, _, _, _ = resumable_rollout(st, grid, cfg, ckpt_path=ck, segment_steps=10)
+        assert len(pe) == 20  # only the remaining steps produced here
+
+        # equivalence with a straight run
+        ref, *_ = resumable_rollout(st, grid, cfg, segment_steps=40)
+        np.testing.assert_allclose(np.asarray(final_full.x), np.asarray(ref.x), atol=1e-4)
