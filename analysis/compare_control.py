@@ -35,9 +35,13 @@ def main():
     p.add_argument("--uncontrolled", required=True)
     p.add_argument("--controlled", required=True)
     p.add_argument("--out", default="result/analysis")
+    p.add_argument("--cpu", action="store_true", help="run the (cheap) analysis math on CPU")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from plasma_control_tpu.diag.landau import compute_linear_damping_rate
