@@ -186,7 +186,7 @@ def _gradient_refine(state, mean, grid, cfg, ctrl, mpc, actuator):
     return jnp.where(better, refined, mean)
 
 
-@partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc"))
+@partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc", "candidate_sharding"))
 def plan(
     state: PlasmaState,
     mean: jax.Array,  # (H, 2K) warm-started nominal sequence
@@ -197,8 +197,15 @@ def plan(
     ctrl: ControlConfig,
     mpc: MPCConfig,
     actuator: FourierActuator,
+    candidate_sharding=None,
 ):
-    """One MPC solve. Returns (first_action, new_mean, best_cost)."""
+    """One MPC solve. Returns (first_action, new_mean, best_cost).
+
+    ``candidate_sharding``: optional ``NamedSharding`` (e.g. over a
+    ``"rollout"`` mesh axis). The sampled candidate block is constrained to
+    it, and GSPMD partitions the K independent H-step rollouts across the
+    mesh — the cost reduction/softmax is the only cross-device communication.
+    """
     h, d = mean.shape
 
     # Multi-fidelity: candidate rollouts may run on a reduced model.
@@ -226,7 +233,10 @@ def plan(
         cand = cand.at[0].set(mean)
         if fb_seq is not None:
             cand = cand.at[1].set(fb_seq)
-        return jnp.clip(cand, ctrl.coeff_min, ctrl.coeff_max)
+        cand = jnp.clip(cand, ctrl.coeff_min, ctrl.coeff_max)
+        if candidate_sharding is not None:
+            cand = jax.lax.with_sharding_constraint(cand, candidate_sharding)
+        return cand
 
     if mpc.algo == "mppi":
         cand = sample(key)
@@ -259,7 +269,7 @@ def plan(
     return new_mean[0], new_mean, best
 
 
-@partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc", "n_steps"))
+@partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc", "n_steps", "candidate_sharding"))
 def mpc_rollout(
     state: PlasmaState,
     grid: Grid,
@@ -269,6 +279,7 @@ def mpc_rollout(
     actuator: FourierActuator,
     key: jax.Array,
     n_steps: Optional[int] = None,
+    candidate_sharding=None,
 ) -> MPCOutput:
     """Closed-loop receding-horizon control for ``n_steps`` env steps.
 
@@ -283,7 +294,10 @@ def mpc_rollout(
 
     def body(carry, k):
         st, mean = carry
-        action, new_mean, best = plan(st, mean, sigma, k, grid, cfg, ctrl, mpc, actuator)
+        action, new_mean, best = plan(
+            st, mean, sigma, k, grid, cfg, ctrl, mpc, actuator,
+            candidate_sharding=candidate_sharding,
+        )
         e_ext = actuator.compute_e_packed(action)
         new_st = step(st, grid, cfg, e_ext)
         pe, ke = _energies(new_st, grid, cfg)

@@ -18,15 +18,37 @@ from plasma_control_tpu.ops.grid import make_grid
 
 
 def main():
-    args = vars(base_parser("Vlasov-Poisson plasma kinetic simulation without E-field control").parse_args())
+    p = base_parser("Vlasov-Poisson plasma kinetic simulation without E-field control")
+    p.add_argument("--checkpoint_every", type=int, default=0, help="steps between full-state checkpoints (0 = off)")
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--no_resume", action="store_true", help="ignore an existing checkpoint")
+    args = vars(p.parse_args())
     cfg = build_sim_config(args)
     ctrl = build_control_config(args)
 
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
     state = init_state(cfg, jax.random.PRNGKey(cfg.seed))
 
-    out = rollout(state, grid, cfg, record_snapshots=True)
-    snapshot = np.asarray(snapshot_from_rollout(out))
+    if args["checkpoint_every"]:
+        from plasma_control_tpu.io.resume import resumable_rollout
+
+        ck = args["checkpoint_path"] or f"checkpoints/{args['simcase']}-wo-oc"
+        final, pe, ke, xs, vs = resumable_rollout(
+            state, grid, cfg,
+            ckpt_path=ck,
+            segment_steps=args["checkpoint_every"],
+            resume=not args["no_resume"],
+        )
+        snapshot = np.concatenate([xs.T, vs.T], axis=0)
+
+        class _Out:
+            hamiltonian = pe + ke
+            field_energy = pe
+
+        out = _Out()
+    else:
+        out = rollout(state, grid, cfg, record_snapshots=True)
+        snapshot = np.asarray(snapshot_from_rollout(out))
     costs = compute_cost_traces(snapshot, cfg, ctrl)
 
     high_idx = None

@@ -114,3 +114,41 @@ class TestLargeNSharding:
         n = deposit(jnp.asarray(x2), grid)
         total = float(jnp.sum(n)) * grid.dx
         assert abs(total - cfg.length) < 1e-2
+
+
+class TestGSPMDCandidateSharding:
+    def test_sharded_plan_matches_unsharded(self, devices8):
+        """plan() with a candidate sharding constraint must produce the same
+        action as the single-device run (GSPMD partitioning is semantics-
+        preserving)."""
+        from plasma_control_tpu.control.mpc import plan
+
+        cfg = cfgs()
+        mpc = MPCConfig(horizon=3, n_candidates=16)
+        ctrl = ControlConfig(max_mode=2)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(axis_names=("rollout",))
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rollout"))
+
+        mean = jnp.zeros((3, 4))
+        a0, m0, b0 = plan(st, mean, jnp.asarray(0.3), jax.random.PRNGKey(5), grid, cfg, ctrl, mpc, act)
+        a1, m1, b1 = plan(st, mean, jnp.asarray(0.3), jax.random.PRNGKey(5), grid, cfg, ctrl, mpc, act, candidate_sharding=sh)
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-5)
+        assert abs(float(b0) - float(b1)) < 1e-3
+
+    def test_sharded_closed_loop(self, devices8):
+        """Full receding-horizon loop with GSPMD-sharded candidates."""
+        from plasma_control_tpu.control.mpc import mpc_rollout
+
+        cfg = cfgs(t_max=2.0)
+        mpc = MPCConfig(horizon=3, n_candidates=16)
+        ctrl = ControlConfig(max_mode=2)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(axis_names=("rollout",))
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rollout"))
+        out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(1), candidate_sharding=sh)
+        assert np.isfinite(np.asarray(out.field_energy)).all()
