@@ -144,3 +144,18 @@ class TestDistributions:
         # correlation between |v| modulation and sin(x) should be strong
         c = np.corrcoef(np.abs(v), np.abs(1 + 0.5 * mod))[0, 1]
         assert c > 0.1
+
+
+class TestLandauDamping:
+    def test_maxwellian_perturbation_damps(self):
+        """A Maxwellian (two-stream with v0=0) with a seeded perturbation
+        exhibits Landau damping: negative log-E^2 slope, in contrast to the
+        two-stream growth test above."""
+        cfg = small_cfg(simcase="two-stream", vb=0.0, vth=1.0, t_max=10.0,
+                        perturb_amplitude=0.3, perturb_mode=1, n_particles=20000)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        st = init_state(cfg, jax.random.PRNGKey(11))
+        out = rollout(st, grid, cfg)
+        ts = jnp.linspace(0.0, cfg.t_max, cfg.n_steps + 1)
+        gamma = float(damping_rate_from_field_energy(ts, out.field_energy))
+        assert gamma < 0.0, f"expected Landau damping, got gamma={gamma}"
