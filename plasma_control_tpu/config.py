@@ -116,6 +116,11 @@ class MPCConfig:
     # (computed at the current state, held over the horizon). Guarantees the
     # sampler never does worse than the hand-crafted expert at solve time.
     seed_feedback: bool = True
+    # Temporal correlation of candidate perturbations: 0 = white noise;
+    # beta in (0, 1) applies an AR(1) filter along the horizon
+    # (eps_t = beta*eps_{t-1} + sqrt(1-beta^2)*w_t), keeping per-step
+    # variance sigma^2 while favoring smooth control sequences.
+    smooth_noise: float = 0.0
 
 
 def preset(name: str, **overrides) -> SimConfig:

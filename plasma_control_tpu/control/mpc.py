@@ -226,8 +226,23 @@ def plan(
     else:
         fb_seq = None
 
+    def _colored(eps):
+        if mpc.smooth_noise <= 0.0:
+            return eps
+        beta = jnp.asarray(mpc.smooth_noise, eps.dtype)
+        scale = jnp.sqrt(1.0 - beta**2)
+
+        def ar(carry, w):
+            nxt = beta * carry + scale * w
+            return nxt, nxt
+
+        # scan along the horizon axis; first sample keeps unit variance
+        eps_t = jnp.moveaxis(eps, 1, 0)  # (H, K, D)
+        _, out = jax.lax.scan(ar, eps_t[0], eps_t[1:])
+        return jnp.moveaxis(jnp.concatenate([eps_t[:1], out]), 0, 1)
+
     def sample(k):
-        eps = jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype)
+        eps = _colored(jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype))
         cand = mean[None] + sigma * eps
         # keep the nominal itself in the pool (index 0): never regress
         cand = cand.at[0].set(mean)
