@@ -75,6 +75,21 @@ def save_npz(path: str, mdic: dict) -> None:
     np.savez_compressed(path, **flat)
 
 
+def load_initial_state(path: str, column: int = 0):
+    """Extract a (x, v) particle state from a run dump's snapshot column.
+
+    Supports dumps produced by this framework *or* by the reference's run
+    scripts (same ``data.mat`` schema) — the import path that enables
+    exact-trajectory comparisons against reference-generated initial
+    conditions (SURVEY §7, hard part 4).
+    """
+    run = load_run(path)
+    snap = np.asarray(run["snapshot"])
+    n = snap.shape[0] // 2
+    col = snap[:, column] if snap.ndim == 2 else snap
+    return col[:n].astype(np.float32), col[n:].astype(np.float32)
+
+
 def load_run(path: str) -> dict:
     """Load either a .mat or .npz run dump."""
     if path.endswith(".mat"):

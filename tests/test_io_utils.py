@@ -131,3 +131,31 @@ class TestResumableRollout:
         # equivalence with a straight run
         ref, *_ = resumable_rollout(st, grid, cfg, segment_steps=40)
         np.testing.assert_allclose(np.asarray(final_full.x), np.asarray(ref.x), atol=1e-4)
+
+
+class TestInitialStateImport:
+    def test_roundtrip_through_mat(self, tmp_path):
+        """A state exported to .mat (reference schema) reloads exactly and
+        reproduces the same rollout — the reference-IC import path."""
+        from plasma_control_tpu.config import SimConfig
+        from plasma_control_tpu.io.export import build_run_dict, load_initial_state, save_mat
+        from plasma_control_tpu.models.pic import PlasmaState, init_state
+        from plasma_control_tpu.models.rollout import rollout
+        from plasma_control_tpu.ops.grid import make_grid
+
+        cfg = SimConfig(n_particles=400, n_mesh=32, dt=0.1, t_max=2.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        out = rollout(st, grid, cfg, record_snapshots=True)
+        from plasma_control_tpu.models.rollout import snapshot_from_rollout
+
+        mdic = build_run_dict(cfg, np.asarray(snapshot_from_rollout(out)), np.ones(1), np.ones(1))
+        save_mat(str(tmp_path / "d.mat"), mdic)
+
+        x, v = load_initial_state(str(tmp_path / "d.mat"), column=0)
+        np.testing.assert_allclose(x, np.asarray(st.x), atol=1e-6)
+        st2 = PlasmaState(jnp.asarray(x), jnp.asarray(v))
+        out2 = rollout(st2, grid, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out2.field_energy), np.asarray(out.field_energy), rtol=1e-5
+        )
