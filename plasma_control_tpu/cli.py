@@ -81,7 +81,7 @@ def build_sim_config(args: dict) -> SimConfig:
         perturb_amplitude=args["A"],
         perturb_mode=args["n_mode"],
         bump_a=args["a"],
-        interpol=args["interpol"].lower().replace("cic", "cic").replace("tsc", "tsc"),
+        interpol=args["interpol"].lower(),
         deposit_method=args["deposit_method"],
         seed=args["seed"],
     )

@@ -23,7 +23,7 @@ implicit midpoint) are provided for API parity; they take
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -165,26 +165,6 @@ def implicit_midpoint(
     dx, _, converged, _ = jax.lax.while_loop(cond, body, (dx0, 0, jnp.array(False), jnp.array(False)))
     fallback = _verlet_packed(eta, grad_fn, dt)
     return jnp.where(converged, eta + dx, fallback)
-
-
-class _KickDriftIntegrator(NamedTuple):
-    name: str
-    step: Callable
-
-
-def _make_packed(step_fn):
-    def packed(eta: jax.Array, grad_fn: GradFn, dt: float) -> jax.Array:
-        n = eta.shape[0] // 2
-
-        def accel(xq):
-            # grad_fn's velocity block evaluated at (xq, ·): the v-derivative
-            # only depends on positions for this Hamiltonian.
-            return grad_fn(jnp.concatenate([xq, eta[n:]]))[n:]
-
-        x2, v2 = step_fn(eta[:n], eta[n:], accel, dt)
-        return jnp.concatenate([x2, v2])
-
-    return packed
 
 
 #: name -> (x, v, accel_fn, dt) -> (x, v) steppers for the PIC hot loop
