@@ -322,11 +322,15 @@ def train(
     key: jax.Array,
     num_episodes: Optional[int] = None,
     verbose: int = 10,
+    save_best: Optional[str] = None,
+    save_every: int = 10,
 ):
     """Full training: offline expert BC stage + online episodes
-    (parity with ``train``, `ddpg.py:305-539`).
+    (parity with ``train``, `ddpg.py:305-539`). If ``save_best`` is given the
+    best actor weights are persisted every ``save_every`` episodes (the
+    reference saves on every update, `ddpg.py:496`).
 
-    Returns (nets, ts, history dict with per-episode reward/q1/q2/p arrays).
+    Returns (nets, ts, best_params, history dict with per-episode arrays).
     """
     import numpy as np
 
@@ -368,6 +372,10 @@ def train(
         if int(m["n_updates"]) > 0 and (best_reward is None or rm > best_reward):
             best_reward = rm
             best_params = jax.tree.map(jnp.copy, ts.actor_params)
+        if save_best and ep % save_every == 0:
+            from ...io.checkpoint import save_params
+
+            save_params(save_best, best_params)
         if verbose and ep % verbose == 0:
             print(f"| episode:{ep + 1} | reward:{rm:.4f} | p_loss:{hist['p_loss'][-1]:.4f}")
 
