@@ -54,10 +54,10 @@ def run_rl(algo: str, args: dict, cfg: SimConfig, ctrl: ControlConfig, hp):
         raise ValueError(algo)
 
     if args.get("optimize"):
-        nets, ts, best_params, hist = train(
-            cfg, ctrl, hp, grid, actuator, key,
-            num_episodes=args.get("num_episode"), verbose=args.get("verbose", 10),
-        )
+        train_kwargs = dict(num_episodes=args.get("num_episode"), verbose=args.get("verbose", 10))
+        if algo == "ddpg":
+            train_kwargs.update(save_best=best_path)  # periodic persistence
+        nets, ts, best_params, hist = train(cfg, ctrl, hp, grid, actuator, key, **train_kwargs)
         save_params(best_path, best_params)
         save_params(last_path, params_of(ts))
         savepath = os.path.join(args["save_plot"], args["simcase"], tag)
