@@ -205,3 +205,22 @@ class TestSAC:
         nets, ts, best, hist = train(cfg, ctrl, hp, grid, act, jax.random.PRNGKey(0), num_episodes=2, verbose=0)
         assert len(hist["reward"]) == 2
         assert np.isfinite(hist["reward"]).all()
+
+
+class TestDAgger:
+    def test_dagger_loop_runs_and_fits(self):
+        from plasma_control_tpu.control.rl.dagger import dagger_train
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig
+        from plasma_control_tpu.ops.grid import make_grid
+
+        cfg, ctrl, grid, act = tiny()
+        hp = DDPGConfig(mlp_dim=16)
+        nets, params, hist = dagger_train(
+            cfg, ctrl, hp, grid, act, jax.random.PRNGKey(0), n_iters=2, epochs_per_iter=20, verbose=False
+        )
+        assert len(hist["pe_tail"]) == 2
+        assert np.isfinite(hist["bc_loss"]).all()
+        # the fitted actor produces bounded, finite actions
+        s = jax.random.normal(jax.random.PRNGKey(1), (3, 2 * cfg.n_particles))
+        a = nets.actor.sample(params, s)
+        assert np.isfinite(np.asarray(a)).all()
