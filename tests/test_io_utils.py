@@ -1,5 +1,6 @@
 """IO (export/checkpoint) and utils (guards, timing) tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -159,3 +160,14 @@ class TestInitialStateImport:
         np.testing.assert_allclose(
             np.asarray(out2.field_energy), np.asarray(out.field_energy), rtol=1e-5
         )
+
+
+class TestDebug:
+    def test_nan_checks_context(self):
+        from plasma_control_tpu.utils.debug import nan_checks
+
+        with pytest.raises(FloatingPointError):
+            with nan_checks():
+                jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+        # config restored
+        assert not jax.config.jax_debug_nans
