@@ -81,3 +81,10 @@ class TestRunScripts:
             ["--max_mode", "2", "--mlp_dim", "8"],
         )
         check_artifacts(tmp_path, "sac-control")
+
+    def test_run_lqr(self, tmp_path):
+        run_script(
+            tmp_path, "run_lqr.py",
+            ["--max_mode", "2", "--n_excite_rollouts", "2", "--excite_steps", "20", "--n_lags", "3"],
+        )
+        check_artifacts(tmp_path, "lqr-control")
