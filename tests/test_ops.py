@@ -270,3 +270,20 @@ class TestStepVsOracle:
         )
         h_ref = oracle.hamiltonian(x64, v64, L, M, 1.0)
         assert abs(h - h_ref) / abs(h_ref) < 1e-3
+
+
+class TestOddMesh:
+    def test_solve_and_deposit_on_odd_mesh(self, rng):
+        """Odd cell counts (no Nyquist mode) must work identically."""
+        m_odd = 63
+        x64 = _particles(rng)
+        grid = make_grid(m_odd, L)
+        n = np.asarray(deposit(jnp.asarray(x64, dtype=jnp.float32), grid, n0=1.0))
+        n_ref = oracle.deposit_cic(x64, 1.0, L, m_odd)
+        np.testing.assert_allclose(n, n_ref, rtol=3e-4, atol=3e-4)
+        e = np.asarray(solve_e_mesh(jnp.asarray(n_ref, dtype=jnp.float32), grid, 1.0))
+        e_ref = oracle.solve_e_mesh(n_ref, L, 1.0)
+        np.testing.assert_allclose(e, e_ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(solve_e_mesh_fft(jnp.asarray(n_ref, dtype=jnp.float32), grid, 1.0)), e_ref, atol=1e-5
+        )
