@@ -62,7 +62,7 @@ def config2():
     from plasma_control_tpu.ops.grid import make_grid
 
     cfg = SimConfig(simcase="bump-on-tail", n_particles=10_000, n_mesh=128, dt=0.1, t_max=30.0)
-    ctrl = ControlConfig(max_mode=1)
+    ctrl = ControlConfig(max_mode=3)
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     st = init_state(cfg, jax.random.PRNGKey(0))
@@ -71,7 +71,7 @@ def config2():
     ts = jnp.linspace(0, cfg.t_max, cfg.n_steps)
     g_un = float(damping_rate_from_field_energy(ts, un.field_energy[1:]))
     g_fb = float(damping_rate_from_field_energy(ts, fb.field_energy))
-    _emit("2-feedback-damping", g_fb - g_un, "dgamma", gamma_uncontrolled=round(g_un, 5), gamma_feedback=round(g_fb, 5))
+    _emit("2-feedback-damping", g_un - g_fb, "dgamma (positive = feedback damps harder)", gamma_uncontrolled=round(g_un, 5), gamma_feedback=round(g_fb, 5))
 
 
 def config3():
@@ -185,6 +185,55 @@ def config5():
           particles_per_s=round(steps * n / dt, 0))
 
 
+def config6():
+    """Rollout-axis scaling efficiency across however many devices exist.
+
+    NOTE: on a virtual CPU mesh (--force_cpu --virtual_devices N) all
+    "devices" share the same physical cores, so this measures the sharding
+    *mechanism overhead*, not real speedup — meaningful speedup numbers
+    require real chips (each with its own compute)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+    from plasma_control_tpu.control.mpc import candidate_costs
+    from plasma_control_tpu.control.actuator import make_actuator
+    from plasma_control_tpu.models.pic import init_state
+    from plasma_control_tpu.ops.grid import make_grid
+    from plasma_control_tpu.parallel.mesh import make_mesh
+
+    cfg = SimConfig(simcase="two-stream", n_particles=2048, n_mesh=64, dt=0.1)
+    ctrl = ControlConfig(max_mode=3)
+    mpc = MPCConfig(horizon=8, n_candidates=64)
+    grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
+    act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+    st = init_state(cfg, jax.random.PRNGKey(0))
+    cand = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (mpc.n_candidates, mpc.horizon, ctrl.n_actions))
+
+    all_devs = jax.devices()
+    base_rate = None
+    for nd in [1, 2, 4, 8]:
+        if nd > len(all_devs):
+            break
+        mesh = make_mesh(axis_names=("rollout",), devices=all_devs[:nd])
+        sh = NamedSharding(mesh, P("rollout"))
+        cand_s = jax.device_put(cand, sh)
+        fn = jax.jit(lambda s, c: candidate_costs(s, c, grid, cfg, mpc, act))
+        np.asarray(fn(st, cand_s))  # compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fn(st, cand_s)
+        np.asarray(out)
+        rate = 5 / (time.perf_counter() - t0)
+        if base_rate is None:
+            base_rate = rate
+        virtual = jax.devices()[0].platform == "cpu"
+        _emit("6-rollout-scaling", rate, "cost-evals/s", devices=nd,
+              efficiency=round(rate / (base_rate * nd), 3),
+              note="virtual-mesh overhead check" if virtual else "real-chip scaling")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", default="1,2,3,4,5")
@@ -201,7 +250,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    fns = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
+    fns = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5, "6": config6}
     for c in args.configs.split(","):
         try:
             fns[c.strip()]()

@@ -80,3 +80,23 @@ class TestGoldenTraces:
         )
         rel = np.abs(pe_jax - pe_ref) / np.abs(pe_ref)
         assert rel.max() < 0.01, f"max relative PE error {rel.max():.4f}"
+
+
+@needs_native
+class TestGoldenBumpOnTail:
+    def test_bump_on_tail_feedback_trace(self):
+        """Same golden check on the bump-on-tail case."""
+        cfg = SimConfig(
+            simcase="bump-on-tail", n_particles=N, n_mesh=M, dt=DT, t_max=8.0, length=L
+        )
+        ctrl = ControlConfig(max_mode=K)
+        grid = make_grid(M, L)
+        act = make_actuator(L, M, K)
+        st = init_state(cfg, jax.random.PRNGKey(7))
+
+        fb = feedback_rollout(st, grid, cfg, ctrl, act)
+        pe_ref = _native_feedback_trace(
+            np.asarray(st.x, dtype=np.float64), np.asarray(st.v, dtype=np.float64), cfg.n_steps
+        )
+        rel = np.abs(np.asarray(fb.field_energy) - pe_ref) / np.abs(pe_ref)
+        assert rel.max() < 0.01, f"max relative PE error {rel.max():.4f}"
