@@ -12,9 +12,16 @@ import argparse
 import os
 from typing import Optional
 
+import jax
 import numpy as np
 
 from .config import ControlConfig, MPCConfig, SimConfig
+
+# Persistent compilation cache for every entry point (remote TPU compiles are
+# 40-370 s cold; cached re-compiles are seconds — see DEVNOTES.md).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __all__ = ["base_parser", "add_control_args", "add_mpc_args", "build_sim_config", "build_control_config", "run_and_save"]
 
@@ -63,6 +70,8 @@ def add_mpc_args(p: argparse.ArgumentParser):
     p.add_argument("--algo", type=str, default="mppi", choices=["mppi", "cem"])
     p.add_argument("--plan_particles", type=int, default=0, help="0 = full fidelity")
     p.add_argument("--plan_mesh", type=int, default=0, help="0 = full fidelity")
+    p.add_argument("--plan_integrator", type=str, default="leapfrog", choices=["env", "leapfrog"],
+                   help="candidate-rollout integrator; applied steps always use Yoshida-4")
     return p
 
 
@@ -109,6 +118,7 @@ def build_mpc_config(args: dict) -> MPCConfig:
         algo=args["algo"],
         plan_particles=args["plan_particles"] or None,
         plan_mesh=args["plan_mesh"] or None,
+        plan_integrator=args.get("plan_integrator", "leapfrog"),
     )
 
 

@@ -94,14 +94,33 @@ def _step_and_pe(
     grid: Grid,
     cfg: SimConfig,
     exact: bool,
+    plan_integrator: str = "env",
 ):
-    """One Yoshida step returning (state, PE). With ``exact=False`` the PE
-    reuses the self-consistent field of the last kick substage (saves one of
-    four deposit+solve pipelines per step; positions differ by one c4-drift,
-    which preserves candidate ranking)."""
+    """One planning step returning (state, PE).
+
+    With ``plan_integrator="leapfrog"`` the candidate dynamics use a
+    position-Verlet drift-kick-drift split — ONE deposit+solve+gather
+    pipeline per step instead of Yoshida-4's three (2nd-order symplectic;
+    candidate *ranking* is insensitive to the difference at dt=0.1). With
+    ``exact=False`` the PE additionally reuses the kick-stage field instead
+    of re-solving at the exact post-step positions."""
     from ..ops.deposit import deposit as _dep, gather as _gat
     from ..ops.fields import electric_energy, solve_e_mesh
     from ..ops.integrate import yoshida4_coefficients
+
+    if plan_integrator == "leapfrog":
+        dt = cfg.clamped_dt()
+        x = state.x + 0.5 * dt * state.v
+        n = _dep(x, grid, n0=cfg.n0, kind=cfg.interpol, method=cfg.deposit_method)
+        e_self = solve_e_mesh(n, grid, cfg.n0)
+        accel = -_gat(e_self + e_ext, x, grid, kind=cfg.interpol, method=cfg.deposit_method)
+        v = state.v + dt * accel
+        x = jnp.mod(x + 0.5 * dt * v, cfg.length)
+        if exact:
+            n2 = _dep(x, grid, n0=cfg.n0, kind=cfg.interpol, method=cfg.deposit_method)
+            e_self = solve_e_mesh(n2, grid, cfg.n0)
+        pe = electric_energy(e_self, grid, cfg.n_particles)
+        return PlasmaState(x, v), pe
 
     if cfg.integrator != "yoshida4" or exact:
         new = step(state, grid, cfg, e_ext)
@@ -135,7 +154,7 @@ def _horizon_cost(
 
     def body(carry: PlasmaState, u):
         e_ext = actuator.compute_e_packed(u)
-        new, pe = _step_and_pe(carry, e_ext, grid, cfg, mpc.exact_cost_energy)
+        new, pe = _step_and_pe(carry, e_ext, grid, cfg, mpc.exact_cost_energy, mpc.plan_integrator)
         c = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
         return new, c
 

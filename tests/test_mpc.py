@@ -35,6 +35,29 @@ class TestPlan:
         assert np.isfinite(costs).all()
         assert np.std(costs) > 0
 
+    def test_leapfrog_planner_preserves_ranking(self):
+        """The cheap position-Verlet planning integrator (1 pipeline/step,
+        MPCConfig.plan_integrator='leapfrog') must rank candidate control
+        sequences the same way as the full Yoshida-4 dynamics — that is the
+        only property MPC needs from the planner model."""
+        cfg = tiny_cfg()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (24, 6, 4))
+        c_env = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(horizon=6, plan_integrator="env"), act))
+        c_lf = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(horizon=6, plan_integrator="leapfrog"), act))
+        assert np.isfinite(c_lf).all()
+        # Spearman rank correlation, no scipy needed
+        r_env = np.argsort(np.argsort(c_env)).astype(float)
+        r_lf = np.argsort(np.argsort(c_lf)).astype(float)
+        rho = np.corrcoef(r_env, r_lf)[0, 1]
+        assert rho > 0.95, f"rank correlation {rho}"
+        # and the actual cost values stay close (2nd- vs 4th-order, same dt)
+        np.testing.assert_allclose(c_lf, c_env, rtol=0.05)
+
     @pytest.mark.parametrize("algo", ["mppi", "cem"])
     def test_plan_returns_valid(self, algo):
         cfg = tiny_cfg()
