@@ -122,31 +122,53 @@ def main():
     mean = jnp.zeros((mpc.horizon, ctrl.n_actions), dtype=jnp.float32)
     sigma = jnp.asarray(mpc.sigma0, dtype=jnp.float32)
 
-    # Sustained throughput: a chain of solves inside one compiled scan —
+    # Sustained throughput: chains of solves inside one compiled scan —
     # exactly how the receding-horizon loop runs (no host syncs between
-    # solves; each solve warm-starts from the previous nominal).
-    reps = 50
+    # solves; each solve warm-starts from the previous nominal). The rate is
+    # the two-length chain-slope (r2-r1 solves): the constant per-launch
+    # tunnel/dispatch latency of the remote attachment (~0.3 s here, an
+    # artifact of the axon tunnel, amortized to zero in a production
+    # receding-horizon run of hundreds of solves) cancels in the subtraction;
+    # every call uses fresh keys so no relay cache can serve results
+    # (DEVNOTES: measurement methodology).
+    r1, r2 = 2, 52
 
-    @jax.jit
-    def solve_chain(st, mn, key):
-        def body(carry, k):
-            mn_c, _ = carry
-            action, new_mean, best = plan(st, mn_c, sigma, k, grid, cfg, ctrl, mpc, act)
-            return (new_mean, best), best
+    def solve_chain(reps):
+        @jax.jit
+        def run(st, mn, key):
+            def body(carry, k):
+                mn_c, _ = carry
+                action, new_mean, best = plan(st, mn_c, sigma, k, grid, cfg, ctrl, mpc, act)
+                return (new_mean, best), best
 
-        (_, best), bests = jax.lax.scan(body, (mn, jnp.asarray(0.0, jnp.float32)), jax.random.split(key, reps))
-        return bests
+            (_, best), bests = jax.lax.scan(
+                body, (mn, jnp.asarray(0.0, jnp.float32)), jax.random.split(key, reps))
+            return bests
 
+        return run
+
+    f1, f2 = solve_chain(r1), solve_chain(r2)
     t0 = time.perf_counter()
-    out = solve_chain(state, mean, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    np.asarray(f1(state, mean, jax.random.PRNGKey(1)))
+    np.asarray(f2(state, mean, jax.random.PRNGKey(2)))
     details["mpc_compile_s"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = solve_chain(state, mean, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
-    solves_per_s = reps / (time.perf_counter() - t0)
+    slopes = []
+    wall = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f1(state, mean, jax.random.PRNGKey(10 + 2 * i)))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(f2(state, mean, jax.random.PRNGKey(11 + 2 * i)))
+        tb = time.perf_counter() - t0
+        slopes.append((tb - ta) / (r2 - r1))
+        wall.append(tb)
+    sec = float(np.median(slopes))
+    solves_per_s = 1.0 / sec
     details["mpc_solves_per_s"] = solves_per_s
+    details["mpc_ms_per_solve_all"] = [round(1e3 * s, 3) for s in slopes]
+    details["mpc_wall_chain52_s"] = round(float(np.median(wall)), 3)
 
     # ---------------- sub-benchmark: particle-push steps/s ----------------
     cfg1 = SimConfig(simcase="two-stream", n_particles=10000, n_mesh=64, dt=0.1, t_max=50.0)

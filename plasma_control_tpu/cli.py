@@ -70,8 +70,11 @@ def add_mpc_args(p: argparse.ArgumentParser):
     p.add_argument("--algo", type=str, default="mppi", choices=["mppi", "cem"])
     p.add_argument("--plan_particles", type=int, default=0, help="0 = full fidelity")
     p.add_argument("--plan_mesh", type=int, default=0, help="0 = full fidelity")
-    p.add_argument("--plan_integrator", type=str, default="leapfrog", choices=["env", "leapfrog"],
+    p.add_argument("--plan_integrator", type=str, default="leapfrog",
+                   choices=["env", "leapfrog", "kdk"],
                    help="candidate-rollout integrator; applied steps always use Yoshida-4")
+    p.add_argument("--plan_kernel", type=str, default="auto", choices=["auto", "xla", "fused"],
+                   help="planning-step kernel: fused Pallas TPU kernel or XLA ops")
     return p
 
 
@@ -119,6 +122,7 @@ def build_mpc_config(args: dict) -> MPCConfig:
         plan_particles=args["plan_particles"] or None,
         plan_mesh=args["plan_mesh"] or None,
         plan_integrator=args.get("plan_integrator", "leapfrog"),
+        plan_kernel=args.get("plan_kernel", "auto"),
     )
 
 

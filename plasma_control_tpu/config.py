@@ -122,13 +122,25 @@ class MPCConfig:
     # scheme suffices. "env" = use cfg.integrator (3 deposit+gather pipelines
     # per step for Yoshida-4); "leapfrog" = position-Verlet drift-kick-drift
     # (1 pipeline per step, ~2-3x faster solves; 2nd-order accurate — ranking
-    # is unchanged at dt=0.1, see tests/test_mpc.py::test_leapfrog_planner).
-    plan_integrator: Literal["env", "leapfrog"] = "leapfrog"
+    # is unchanged at dt=0.1, see tests/test_mpc.py::test_leapfrog_planner);
+    # "kdk" = velocity-Verlet kick-drift-kick (the adjoint 2nd-order
+    # splitting; exact post-step PE implied, and on TPU the whole K x H
+    # candidate block runs as ONE fused Pallas kernel with a single CIC
+    # weight evaluation per step — the fastest planner).
+    plan_integrator: Literal["env", "leapfrog", "kdk"] = "leapfrog"
     # Temporal correlation of candidate perturbations: 0 = white noise;
     # beta in (0, 1) applies an AR(1) filter along the horizon
     # (eps_t = beta*eps_{t-1} + sqrt(1-beta^2)*w_t), keeping per-step
     # variance sigma^2 while favoring smooth control sequences.
     smooth_noise: float = 0.0
+    # Planning-step kernel. "auto"/"xla" use the XLA op-by-op path — measured
+    # FASTER than the fused Pallas kernels at the benchmark planning shapes
+    # (267 vs 137 solves/s on v5e; see control/mpc.py::_use_fused_kernel for
+    # the layout analysis). "fused" forces the Pallas kernels
+    # (ops/pallas/fused_step.py: whole leapfrog step, or the whole KDK
+    # horizon, in one launch with VMEM-only CIC weight tiles) — kept for
+    # shapes/hardware where they may win; errors if unsupported.
+    plan_kernel: Literal["auto", "xla", "fused"] = "auto"
 
 
 def preset(name: str, **overrides) -> SimConfig:

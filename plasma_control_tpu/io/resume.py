@@ -22,7 +22,7 @@ from ..models.rollout import rollout
 from ..ops.grid import Grid
 from .checkpoint import restore_checkpoint, save_checkpoint
 
-__all__ = ["resumable_rollout"]
+__all__ = ["resumable_rollout", "resumable_mpc_rollout"]
 
 
 def resumable_rollout(
@@ -86,3 +86,95 @@ def resumable_rollout(
     xs = np.concatenate(xs_parts) if xs_parts else None
     vs = np.concatenate(vs_parts) if vs_parts else None
     return state, pe, ke, xs, vs
+
+
+def resumable_mpc_rollout(
+    state: PlasmaState,
+    grid: Grid,
+    cfg: SimConfig,
+    ctrl,
+    mpc,
+    actuator,
+    key: jax.Array,
+    ckpt_path: Optional[str] = None,
+    segment_steps: int = 100,
+    resume: bool = True,
+):
+    """Closed-loop MPC control of ``cfg.n_steps`` in resumable segments.
+
+    The complete controller state — particles, the warm-started nominal
+    control sequence, and the step counter — is checkpointed after each
+    segment, so a preempted control run resumes mid-horizon with the exact
+    same trajectory as an uninterrupted one: the per-solve key schedule is
+    precomputed from ``key`` and indexed by global step, and the shifted
+    nominal is restored as ``mean0``.
+
+    Returns ``(final_state, traces)`` where ``traces`` is a dict of the
+    per-step series (field_energy, kinetic, hamiltonian, coeffs,
+    input_energy, plan_cost) covering the steps executed by THIS call, plus
+    ``coeffs_full`` — the cumulative (T, 2K) applied-coefficient history
+    across interruptions (carried in the checkpoint), from which callers can
+    replay the complete controlled trajectory.
+    """
+    from ..control.mpc import mpc_rollout
+
+    total = cfg.n_steps
+    d = 2 * ctrl.max_mode
+    all_keys = jax.random.split(key, total)
+    xdtype = np.asarray(state.x).dtype
+    like = {
+        "x": np.zeros_like(np.asarray(state.x)),
+        "v": np.zeros_like(np.asarray(state.v)),
+        "mean": np.zeros((mpc.horizon, d), dtype=xdtype),
+        "coeffs": np.zeros((total, d), dtype=xdtype),
+        "t_done": np.asarray(0),
+    }
+
+    t_done = 0
+    mean = jnp.zeros((mpc.horizon, d), dtype=state.x.dtype)
+    coeffs_full = np.zeros((total, d), dtype=xdtype)
+    if ckpt_path and resume and os.path.exists(ckpt_path):
+        ck = restore_checkpoint(ckpt_path, like=like)
+        t_done = int(ck["t_done"])
+        if 0 < t_done <= total:
+            state = PlasmaState(jnp.asarray(ck["x"]), jnp.asarray(ck["v"]))
+            mean = jnp.asarray(ck["mean"])
+            # the checkpoint may come from a shorter-horizon run (e.g. an
+            # interrupted run with a smaller t_max); keep its prefix
+            done = np.asarray(ck["coeffs"])[:t_done]
+            coeffs_full[: done.shape[0]] = done
+            print(f"# resumed MPC from {ckpt_path} at step {t_done}")
+
+    parts = {k: [] for k in (
+        "field_energy", "kinetic", "hamiltonian", "coeffs", "input_energy", "plan_cost",
+    )}
+    while t_done < total:
+        n = min(segment_steps, total - t_done)
+        out = mpc_rollout(
+            state, grid, cfg, ctrl, mpc, actuator, key,
+            mean0=mean, step_keys=all_keys[t_done : t_done + n],
+        )
+        state = out.final_state
+        mean = out.final_mean
+        for k in parts:
+            parts[k].append(np.asarray(getattr(out, k)))
+        coeffs_full[t_done : t_done + n] = np.asarray(out.coeffs)
+        t_done += n
+        if ckpt_path:
+            save_checkpoint(
+                ckpt_path,
+                {
+                    "x": np.asarray(state.x),
+                    "v": np.asarray(state.v),
+                    "mean": np.asarray(mean),
+                    "coeffs": coeffs_full,
+                    "t_done": np.asarray(t_done),
+                },
+            )
+
+    traces = {
+        k: (np.concatenate(v) if v else np.zeros((0, d) if k == "coeffs" else (0,)))
+        for k, v in parts.items()
+    }
+    traces["coeffs_full"] = coeffs_full
+    return state, traces

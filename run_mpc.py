@@ -29,6 +29,10 @@ from plasma_control_tpu.ops.grid import make_grid
 
 def main():
     p = add_mpc_args(add_control_args(base_parser("PIC simulation with receding-horizon MPC E-field control")))
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="env steps between full controller-state checkpoints (0 = off)")
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--no_resume", action="store_true", help="ignore an existing checkpoint")
     args = vars(p.parse_args())
     cfg = build_sim_config(args)
     ctrl = build_control_config(args)
@@ -38,10 +42,22 @@ def main():
     actuator = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode, endpoint_grid=ctrl.endpoint_grid)
     state = init_state(cfg, jax.random.PRNGKey(cfg.seed))
 
-    out = mpc_rollout(state, grid, cfg, ctrl, mpc, actuator, jax.random.PRNGKey(cfg.seed + 1))
+    if args["checkpoint_every"]:
+        from plasma_control_tpu.io.resume import resumable_mpc_rollout
+
+        ck = args["checkpoint_path"] or f"checkpoints/{args['simcase']}-mpc"
+        _, traces = resumable_mpc_rollout(
+            state, grid, cfg, ctrl, mpc, actuator, jax.random.PRNGKey(cfg.seed + 1),
+            ckpt_path=ck,
+            segment_steps=args["checkpoint_every"],
+            resume=not args["no_resume"],
+        )
+        coeffs = jax.numpy.asarray(traces["coeffs_full"])
+    else:
+        out = mpc_rollout(state, grid, cfg, ctrl, mpc, actuator, jax.random.PRNGKey(cfg.seed + 1))
+        coeffs = out.coeffs  # (T, 2K)
 
     # re-play the recorded control sequence to collect snapshots
-    coeffs = out.coeffs  # (T, 2K)
     replay = rollout(
         state, grid, cfg,
         e_external_traj=actuator.compute_e_packed(coeffs),

@@ -134,6 +134,57 @@ class TestResumableRollout:
         np.testing.assert_allclose(np.asarray(final_full.x), np.asarray(ref.x), atol=1e-4)
 
 
+class TestResumableMPC:
+    def _setup(self):
+        from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+        from plasma_control_tpu.control.actuator import make_actuator
+        from plasma_control_tpu.models.pic import init_state
+        from plasma_control_tpu.ops.grid import make_grid
+
+        cfg = SimConfig(n_particles=400, n_mesh=32, dt=0.1, t_max=1.2)  # 12 steps
+        ctrl = ControlConfig(max_mode=2)
+        mpc = MPCConfig(horizon=3, n_candidates=8)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        return cfg, ctrl, mpc, grid, act, st
+
+    def test_segmented_matches_unsegmented(self):
+        from plasma_control_tpu.control.mpc import mpc_rollout
+        from plasma_control_tpu.io.resume import resumable_mpc_rollout
+
+        cfg, ctrl, mpc, grid, act, st = self._setup()
+        key = jax.random.PRNGKey(7)
+        ref = mpc_rollout(st, grid, cfg, ctrl, mpc, act, key)
+        _, tr = resumable_mpc_rollout(st, grid, cfg, ctrl, mpc, act, key, segment_steps=5)
+        np.testing.assert_allclose(tr["field_energy"], np.asarray(ref.field_energy), rtol=1e-5)
+        np.testing.assert_allclose(tr["coeffs_full"], np.asarray(ref.coeffs), atol=1e-6)
+
+    def test_resume_continues_exactly(self, tmp_path):
+        import dataclasses
+
+        from plasma_control_tpu.io.resume import resumable_mpc_rollout
+
+        cfg, ctrl, mpc, grid, act, st = self._setup()
+        key = jax.random.PRNGKey(7)
+        ck = str(tmp_path / "mpc-ck")
+
+        # "interrupted" run: first 6 of 12 control steps
+        cfg_half = dataclasses.replace(cfg, t_max=0.6)
+        resumable_mpc_rollout(st, grid, cfg_half, ctrl, mpc, act, key, ckpt_path=ck, segment_steps=3)
+
+        # resumed run completes the remaining 6 with the same key schedule
+        fin, tr = resumable_mpc_rollout(st, grid, cfg, ctrl, mpc, act, key, ckpt_path=ck, segment_steps=3)
+        assert len(tr["field_energy"]) == 6  # only the remaining steps here
+
+        # equivalence with an uninterrupted run: full coeff history + final state
+        _, ref = resumable_mpc_rollout(st, grid, cfg, ctrl, mpc, act, key, segment_steps=12)
+        np.testing.assert_allclose(tr["coeffs_full"], ref["coeffs_full"], atol=1e-5)
+        np.testing.assert_allclose(
+            tr["field_energy"], ref["field_energy"][6:], rtol=1e-4
+        )
+
+
 class TestInitialStateImport:
     def test_roundtrip_through_mat(self, tmp_path):
         """A state exported to .mat (reference schema) reloads exactly and

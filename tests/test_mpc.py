@@ -58,6 +58,42 @@ class TestPlan:
         # and the actual cost values stay close (2nd- vs 4th-order, same dt)
         np.testing.assert_allclose(c_lf, c_env, rtol=0.05)
 
+    def test_kdk_planner_preserves_ranking(self):
+        """The velocity-Verlet (KDK) planner — the fused-TPU-kernel scheme —
+        ranks candidates like the full Yoshida-4 dynamics and stays close in
+        value (it is the adjoint splitting of the leapfrog planner)."""
+        cfg = tiny_cfg()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (24, 6, 4))
+        c_env = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(horizon=6, plan_integrator="env"), act))
+        c_kdk = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(horizon=6, plan_integrator="kdk"), act))
+        assert np.isfinite(c_kdk).all()
+        r_env = np.argsort(np.argsort(c_env)).astype(float)
+        r_kdk = np.argsort(np.argsort(c_kdk)).astype(float)
+        rho = np.corrcoef(r_env, r_kdk)[0, 1]
+        assert rho > 0.95, f"rank correlation {rho}"
+        np.testing.assert_allclose(c_kdk, c_env, rtol=0.05)
+
+    def test_fused_kdk_matches_xla_kdk(self):
+        """The one-launch Pallas horizon kernel (plan_kernel='fused',
+        interpret mode on CPU) reproduces the XLA KDK candidate costs."""
+        cfg = tiny_cfg(n_particles=700)  # non-aligned N exercises padding
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (13, 5, 4))  # odd K
+        c_xla = np.asarray(candidate_costs(
+            st, cand, grid, cfg,
+            MPCConfig(horizon=5, plan_integrator="kdk", plan_kernel="xla"), act))
+        c_fused = np.asarray(candidate_costs(
+            st, cand, grid, cfg,
+            MPCConfig(horizon=5, plan_integrator="kdk", plan_kernel="fused"), act))
+        np.testing.assert_allclose(c_fused, c_xla, rtol=2e-4)
+
     @pytest.mark.parametrize("algo", ["mppi", "cem"])
     def test_plan_returns_valid(self, algo):
         cfg = tiny_cfg()
@@ -100,6 +136,25 @@ class TestClosedLoop:
         pe_mpc = float(jnp.mean(out.field_energy[-50:]))
         assert np.isfinite(np.asarray(out.field_energy)).all()
         assert pe_mpc < 0.5 * pe_un, f"mpc {pe_mpc} vs uncontrolled {pe_un}"
+
+    def test_kdk_mpc_suppresses(self):
+        """Closed-loop MPC with the KDK planner (the fused-kernel scheme)
+        suppresses the two-stream instability like the leapfrog planner."""
+        cfg = tiny_cfg(n_particles=2000, n_mesh=64, t_max=25.0)
+        mpc = MPCConfig(horizon=5, n_candidates=64, temperature=0.1, sigma0=0.3,
+                        w_input=0.01, plan_integrator="kdk")
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, 3)
+        ctrl = ControlConfig(max_mode=3)
+        st = init_state(cfg, jax.random.PRNGKey(42))
+
+        un = rollout(st, grid, cfg)
+        out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(0))
+
+        pe_un = float(jnp.mean(un.field_energy[-50:]))
+        pe_mpc = float(jnp.mean(out.field_energy[-50:]))
+        assert np.isfinite(np.asarray(out.field_energy)).all()
+        assert pe_mpc < 0.5 * pe_un, f"kdk mpc {pe_mpc} vs uncontrolled {pe_un}"
 
     def test_multifidelity_mpc_suppresses(self):
         """Planning on a reduced model (subsampled particles + coarse mesh)
