@@ -73,8 +73,10 @@ def add_mpc_args(p: argparse.ArgumentParser):
     p.add_argument("--plan_integrator", type=str, default="leapfrog",
                    choices=["env", "leapfrog", "kdk"],
                    help="candidate-rollout integrator; applied steps always use Yoshida-4")
-    p.add_argument("--plan_kernel", type=str, default="auto", choices=["auto", "xla", "fused"],
-                   help="planning-step kernel: fused Pallas TPU kernel or XLA ops")
+    p.add_argument("--plan_kernel", type=str, default="auto",
+                   choices=["auto", "xla", "fused", "packed"],
+                   help="planning-step kernel: XLA ops, v2 fused Pallas kernels, or "
+                        "the packed-lane staggered-kick horizon kernel (kdk only)")
     return p
 
 

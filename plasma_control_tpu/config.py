@@ -134,13 +134,16 @@ class MPCConfig:
     # variance sigma^2 while favoring smooth control sequences.
     smooth_noise: float = 0.0
     # Planning-step kernel. "auto"/"xla" use the XLA op-by-op path — measured
-    # FASTER than the fused Pallas kernels at the benchmark planning shapes
+    # FASTER than the v2 fused Pallas kernels at the benchmark planning shapes
     # (267 vs 137 solves/s on v5e; see control/mpc.py::_use_fused_kernel for
-    # the layout analysis). "fused" forces the Pallas kernels
+    # the layout analysis). "fused" forces the v2 Pallas kernels
     # (ops/pallas/fused_step.py: whole leapfrog step, or the whole KDK
     # horizon, in one launch with VMEM-only CIC weight tiles) — kept for
-    # shapes/hardware where they may win; errors if unsupported.
-    plan_kernel: Literal["auto", "xla", "fused"] = "auto"
+    # shapes/hardware where they may win; errors if unsupported. "packed"
+    # (kdk only) forces the packed-lane staggered-kick horizon kernel
+    # (p = 128//M candidates per lane row, one weight eval + one merged-kick
+    # gather per step at full lane utilization).
+    plan_kernel: Literal["auto", "xla", "fused", "packed"] = "auto"
 
 
 def preset(name: str, **overrides) -> SimConfig:

@@ -100,6 +100,16 @@ def _use_fused_kernel(grid: Grid, cfg: SimConfig, plan_kernel: str) -> bool:
     The kernels remain available as ``plan_kernel="fused"`` for shapes where
     they may win (and as the substrate for a packed-lane v3).
     """
+    if plan_kernel == "packed":
+        from ..ops.pallas.fused_step import packed_horizon_supported
+
+        if not (cfg.interpol == "cic" and packed_horizon_supported(cfg.n_particles, grid.n_mesh)):
+            raise ValueError(
+                "plan_kernel='packed' requires CIC interpolation, plan mesh <= 128 "
+                f"and plan shapes within the VMEM budget (got N={cfg.n_particles}, "
+                f"M={grid.n_mesh})"
+            )
+        return True
     if plan_kernel != "fused":
         return False
     from ..ops.pallas.fused_step import fused_step_supported
@@ -200,36 +210,52 @@ def _horizon_cost_kdk(
     is shared between kick2 of step t and kick1 of step t+1, so one
     deposit+solve pipeline per step suffices and the post-step PE entering
     the cost is exact by construction (``exact_cost_energy`` is implied —
-    there is no cheaper surrogate in this scheme). The fused Pallas kernel
-    (:func:`plasma_control_tpu.ops.pallas.fused_step.fused_kdk_horizon`)
-    additionally reuses the VMEM weight tile across the two kicks, reaching
-    ONE CIC weight evaluation per step vs 3 on the DKD-exact XLA path.
+    there is no cheaper surrogate in this scheme).
+
+    Implementation: the two half-kicks that straddle each step boundary are
+    *merged*. Tracking only the half-step (staggered) velocities ``vh``,
+
+        vh_{t+1} = vh_t + dt/2 * (a2_t + a1_{t+1})
+                 = vh_t - dt/2 * gather(w(x_{t+1}), 2*E_self + u_t + u_{t+1})
+
+    by linearity of the gather in the field — ONE gather per step instead of
+    two (2 CIC weight evaluations/step total vs 3 on the DKD-exact XLA path).
+    The integer-step velocities are never materialized; the horizon cost only
+    needs the field energies, which are exact. Candidate trajectories are
+    bit-identical to explicit KDK up to fp reassociation of the two kicks.
+    The packed-lane Pallas kernel (:func:`plasma_control_tpu.ops.pallas.
+    fused_step.fused_packed_horizon`) additionally reuses the VMEM weight
+    tile between the deposit and the gather — ONE weight eval per step — at
+    full 128-lane utilization.
     """
     from ..ops.deposit import deposit as _dep, gather as _gat
     from ..ops.fields import electric_energy, solve_e_mesh
 
     dt = cfg.clamped_dt()
     e_ext_seq = actuator.compute_e_packed(coeff_seq)  # (H, M)
+    # u_t + u_{t+1} for each boundary; the last entry is arbitrary (the final
+    # merged kick can't change any PE entering the cost) — pad with the last.
+    e_pair_seq = jnp.concatenate([e_ext_seq[1:], e_ext_seq[-1:]]) + e_ext_seq
 
     def fields(x):
         n = _dep(x, grid, n0=cfg.n0, kind=cfg.interpol, method=cfg.deposit_method)
         return solve_e_mesh(n, grid, cfg.n0)
 
     def body(carry, inp):
-        x, v, e_self = carry
-        e_ext, u = inp
-        a1 = -_gat(e_self + e_ext, x, grid, kind=cfg.interpol, method=cfg.deposit_method)
-        vh = v + 0.5 * dt * a1
+        x, vh = carry
+        e_pair, u = inp
         x2 = jnp.mod(x + dt * vh, cfg.length)
         e2 = fields(x2)
-        a2 = -_gat(e2 + e_ext, x2, grid, kind=cfg.interpol, method=cfg.deposit_method)
-        v2 = vh + 0.5 * dt * a2
+        a = -_gat(2.0 * e2 + e_pair, x2, grid, kind=cfg.interpol, method=cfg.deposit_method)
+        vh2 = vh + 0.5 * dt * a
         pe = electric_energy(e2, grid, cfg.n_particles)
         c = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
-        return (x2, v2, e2), c
+        return (x2, vh2), c
 
     e0 = fields(state.x)
-    _, costs = jax.lax.scan(body, (state.x, state.v, e0), (e_ext_seq, coeff_seq))
+    a1 = -_gat(e0 + e_ext_seq[0], state.x, grid, kind=cfg.interpol, method=cfg.deposit_method)
+    vh0 = state.v + 0.5 * dt * a1
+    _, costs = jax.lax.scan(body, (state.x, vh0), (e_pair_seq, coeff_seq))
     return _finite_or_huge(jnp.sum(costs))
 
 
@@ -267,10 +293,13 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
     otherwise a vmapped per-candidate scan.
     """
     if mpc.plan_integrator == "kdk" and _use_fused_kernel(grid, cfg, mpc.plan_kernel):
-        from ..ops.pallas.fused_step import fused_kdk_horizon
+        from ..ops.pallas.fused_step import fused_kdk_horizon, fused_packed_horizon
 
+        horizon_kernel = (
+            fused_packed_horizon if mpc.plan_kernel == "packed" else fused_kdk_horizon
+        )
         u_mesh = actuator.compute_e_packed(coeff_seqs)  # (K, H, M)
-        pe = fused_kdk_horizon(
+        pe = horizon_kernel(
             state.x, state.v, u_mesh, grid.e_op.T,
             n_mesh=grid.n_mesh, length=cfg.length, dt=cfg.clamped_dt(), n0=cfg.n0,
             interpret=jax.default_backend() != "tpu",

@@ -36,7 +36,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_leapfrog_step", "fused_kdk_horizon", "fused_step_supported"]
+__all__ = [
+    "fused_leapfrog_step",
+    "fused_kdk_horizon",
+    "fused_packed_horizon",
+    "fused_step_supported",
+    "packed_horizon_supported",
+]
 
 _BB = 8  # candidate tile (sublane multiple)
 _VMEM_SCRATCH_BUDGET = 8 * 1024 * 1024  # bytes for the (BB, M, N) weight tile
@@ -319,6 +325,173 @@ def fused_kdk_horizon(
         e_op_t.astype(f32),
     )
     return pe[:k]
+
+
+# ---------------------------------------------------------------------------
+# Packed-lane staggered-kick horizon kernel ("v3").
+#
+# Two structural wins over :func:`fused_kdk_horizon`:
+#
+# 1. **Full 128-lane utilization.** At planning mesh sizes M <= 64 the
+#    (BB, N, M) weight tiles of the v2 kernels run the mesh axis on the
+#    128-wide lane dimension at <= half occupancy — every VPU pass wastes
+#    >= half its lanes. Here ``p = 128 // M`` *candidates* share each lane
+#    row: lanes [c*M, (c+1)*M) hold candidate-member c's weights/fields.
+#    The dominant elementwise weight evaluation, the deposit reduction, and
+#    the Poisson solve (one (BB,128)@(128,128) MXU matmul against the
+#    block-diagonal operator diag(e_op.T, ..., e_op.T)) all run full-lane.
+#
+# 2. **Merged half-kicks (staggered velocities).** KDK's kick2 of step t and
+#    kick1 of step t+1 share the weight tile w(x_{t+1}); by linearity of the
+#    gather they merge into ONE contraction with the combined field
+#    2*E_self + u_t + u_{t+1} (see control/mpc.py::_horizon_cost_kdk).
+#    Tracking only half-step velocities, each planning step costs exactly
+#    one weight evaluation, one deposit reduce, one solve, and one gather
+#    (p masked contractions, same cycles as one unpacked gather pair).
+#
+# Candidate trajectories are identical to explicit KDK up to fp
+# reassociation of the two half-kicks; the per-step field energies entering
+# the MPC cost are exact by construction.
+# ---------------------------------------------------------------------------
+
+
+def packed_horizon_supported(n_particles: int, n_mesh: int, kind: str = "cic") -> bool:
+    """True if the packed (BB, N_pad, 128) weight scratch fits the budget and
+    the mesh fits in the 128-lane row (p = 128 // n_mesh >= 1)."""
+    n_pad = _round_up(n_particles, 128)
+    return kind == "cic" and n_mesh <= 128 and _BB * 128 * n_pad * 4 <= _VMEM_SCRATCH_BUDGET
+
+
+def _packed_kernel(
+    x_ref, v_ref, u_ref, eop_ref,  # (1, N) (1, N) (BB, H, 128) (128, 128)
+    pe2_ref,  # out (BB, H, 128): (0.5*dx) * E_self^2 per lane (caller reduces)
+    xs, vs, w_scr,  # VMEM scratch: (BB, p, N), (BB, p, N), (BB, N, 128)
+    *, p, n_mesh, n_valid, n_pad, length, dt, norm, n0, horizon,
+):
+    inv_dx = n_mesh / length
+    dx = length / n_mesh
+    bb = pe2_ref.shape[0]
+    lanes = p * n_mesh
+
+    def weights():
+        """w_scr <- packed CIC weights at the current xs (one eval)."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bb, n_pad, 128), 2)
+        # member-select positions: lanes [c*M,(c+1)*M) read candidate c
+        pos = jnp.broadcast_to(xs[:, p - 1, :][:, :, None], (bb, n_pad, 128))
+        for c in range(p - 2, -1, -1):
+            pos = jnp.where(lane < (c + 1) * n_mesh, xs[:, c, :][:, :, None], pos)
+        jm = jnp.remainder(lane, n_mesh).astype(jnp.float32)
+        d = pos * inv_dx - jm
+        d = d - n_mesh * jnp.round(d * (1.0 / n_mesh))  # periodic wrap
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+        if lanes != 128:
+            w = jnp.where(lane < lanes, w, 0.0)
+        if n_valid != n_pad:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bb, n_pad, 128), 1)
+            w = jnp.where(row < n_valid, w, 0.0)
+        w_scr[:, :, :] = w
+
+    def solve():
+        dens = jnp.sum(w_scr[:, :, :], axis=1) * norm  # (BB, 128)
+        return _solve(dens, eop_ref, n0)
+
+    def kick(f, scale):
+        """vs <- vs - scale * gather(w, f_member) for each packed member."""
+        member = jax.lax.broadcasted_iota(jnp.int32, (bb, 128), 1) // n_mesh
+        for c in range(p):
+            fc = jnp.where(member == c, f, 0.0)
+            a = _gather(w_scr[:, :, :], fc)  # (BB, N)
+            vs[:, c, :] = vs[:, c, :] - scale * a
+
+    for c in range(p):
+        xs[:, c, :] = jnp.broadcast_to(x_ref[:, :], (bb, n_pad))
+        vs[:, c, :] = jnp.broadcast_to(v_ref[:, :], (bb, n_pad))
+
+    # prologue: first half-kick with the step-0 field
+    weights()
+    e_self = solve()
+    kick(e_self + u_ref[:, 0, :], 0.5 * dt)
+
+    for t in range(horizon):  # static unroll
+        xs[:, :, :] = jnp.mod(xs[:, :, :] + dt * vs[:, :, :], length)
+        weights()
+        e_self = solve()
+        pe2_ref[:, t, :] = (0.5 * dx) * e_self * e_self
+        if t + 1 < horizon:
+            # merged kick2_t + kick1_{t+1}: one gather, combined field
+            kick(2.0 * e_self + u_ref[:, t, :] + u_ref[:, t + 1, :], 0.5 * dt)
+
+
+def fused_packed_horizon(
+    x: jax.Array,  # (N,) shared initial positions in [0, L)
+    v: jax.Array,  # (N,)
+    u_mesh_seq: jax.Array,  # (K, H, M) external mesh-field sequences
+    e_op_t: jax.Array,  # (M, M) == grid.e_op.T
+    *,
+    n_mesh: int,
+    length: float,
+    dt: float,
+    n0: float = 1.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """K candidate H-step staggered-KDK rollouts, p = 128//M candidates packed
+    per lane row; returns (K, H) per-step field energy ``0.5*sum(E_self^2)*dx``
+    (same contract as :func:`fused_kdk_horizon`; trajectories match explicit
+    KDK up to fp reassociation of the merged half-kicks)."""
+    (n,) = x.shape
+    k, h, m = u_mesh_seq.shape
+    assert m == n_mesh and n_mesh <= 128
+    p = 128 // n_mesh
+    kp = _round_up(k, p * _BB)
+    n_pad = _round_up(n, 128)
+    if n_pad != n:
+        x = jnp.pad(x, (0, n_pad - n))
+        v = jnp.pad(v, (0, n_pad - n))
+    if kp != k:
+        u_mesh_seq = jnp.pad(u_mesh_seq, ((0, kp - k), (0, 0), (0, 0)))
+    kk = kp // p
+    # lane-pack members: candidate i*p + c -> row i, lanes [c*M, (c+1)*M)
+    u_pack = jnp.transpose(u_mesh_seq.reshape(kk, p, h, m), (0, 2, 1, 3)).reshape(kk, h, p * m)
+    if p * m != 128:
+        u_pack = jnp.pad(u_pack, ((0, 0), (0, 0), (0, 128 - p * m)))
+    eop = jnp.zeros((128, 128), jnp.float32)
+    for c in range(p):
+        eop = eop.at[c * m:(c + 1) * m, c * m:(c + 1) * m].set(e_op_t.astype(jnp.float32))
+    norm = n0 * length / n / (length / n_mesh)
+
+    kernel = functools.partial(
+        _packed_kernel,
+        p=p, n_mesh=n_mesh, n_valid=n, n_pad=n_pad,
+        length=float(length), dt=float(dt), norm=float(norm),
+        n0=float(n0), horizon=h,
+    )
+    f32 = jnp.float32
+    pe2 = pl.pallas_call(
+        kernel,
+        grid=(kk // _BB,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BB, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kk, h, 128), f32),
+        scratch_shapes=[
+            pltpu.VMEM((_BB, p, n_pad), f32),
+            pltpu.VMEM((_BB, p, n_pad), f32),
+            pltpu.VMEM((_BB, n_pad, 128), f32),
+        ],
+        interpret=interpret,
+    )(
+        x.astype(f32)[None],
+        v.astype(f32)[None],
+        u_pack.astype(f32),
+        eop,
+    )
+    # unpack: (KK, H, 128) -> per-member PE -> (K, H)
+    pe = pe2[:, :, : p * m].reshape(kk, h, p, m).sum(-1)
+    return jnp.transpose(pe, (0, 2, 1)).reshape(kp, h)[:k]
 
 
 def fused_leapfrog_step(
