@@ -124,25 +124,29 @@ class MPCConfig:
     # (1 pipeline per step, ~2-3x faster solves; 2nd-order accurate — ranking
     # is unchanged at dt=0.1, see tests/test_mpc.py::test_leapfrog_planner);
     # "kdk" = velocity-Verlet kick-drift-kick (the adjoint 2nd-order
-    # splitting; exact post-step PE implied, and on TPU the whole K x H
-    # candidate block runs as ONE fused Pallas kernel with a single CIC
-    # weight evaluation per step — the fastest planner).
-    plan_integrator: Literal["env", "leapfrog", "kdk"] = "leapfrog"
+    # splitting) with the boundary half-kicks *merged* (staggered
+    # velocities): 2 CIC weight evaluations per step, exact post-step PE by
+    # construction, and the fastest planner measured on v5e — 399 solves/s
+    # vs leapfrog's 261 at the benchmark shapes (slope method, DEVNOTES).
+    # Ranking fidelity vs the env integrator is tested
+    # (tests/test_mpc.py::test_kdk_planner_preserves_ranking).
+    plan_integrator: Literal["env", "leapfrog", "kdk"] = "kdk"
     # Temporal correlation of candidate perturbations: 0 = white noise;
     # beta in (0, 1) applies an AR(1) filter along the horizon
     # (eps_t = beta*eps_{t-1} + sqrt(1-beta^2)*w_t), keeping per-step
     # variance sigma^2 while favoring smooth control sequences.
     smooth_noise: float = 0.0
     # Planning-step kernel. "auto"/"xla" use the XLA op-by-op path — measured
-    # FASTER than the v2 fused Pallas kernels at the benchmark planning shapes
-    # (267 vs 137 solves/s on v5e; see control/mpc.py::_use_fused_kernel for
-    # the layout analysis). "fused" forces the v2 Pallas kernels
-    # (ops/pallas/fused_step.py: whole leapfrog step, or the whole KDK
-    # horizon, in one launch with VMEM-only CIC weight tiles) — kept for
-    # shapes/hardware where they may win; errors if unsupported. "packed"
-    # (kdk only) forces the packed-lane staggered-kick horizon kernel
-    # (p = 128//M candidates per lane row, one weight eval + one merged-kick
-    # gather per step at full lane utilization).
+    # FASTER than every Pallas variant at the benchmark planning shapes
+    # (kdk/xla 399 vs fused 137 vs packed 172 solves/s on v5e; see
+    # control/mpc.py::_use_fused_kernel for the layout analysis). "fused"
+    # forces the v2 Pallas kernels (ops/pallas/fused_step.py: whole leapfrog
+    # step, or the whole KDK horizon, in one launch with VMEM-only CIC weight
+    # tiles) — kept for shapes/hardware where they may win; errors if
+    # unsupported. "packed" (kdk only) forces the packed-lane staggered-kick
+    # horizon kernel (p = 128//M candidates per lane row, one weight eval +
+    # one merged-kick gather per step at full lane utilization — still loses
+    # to XLA on v5e despite the leaner op count; kept as the v3 substrate).
     plan_kernel: Literal["auto", "xla", "fused", "packed"] = "auto"
 
 

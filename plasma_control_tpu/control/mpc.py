@@ -228,7 +228,7 @@ def _horizon_cost_kdk(
     tile between the deposit and the gather — ONE weight eval per step — at
     full 128-lane utilization.
     """
-    from ..ops.deposit import deposit as _dep, gather as _gat
+    from ..ops.deposit import deposit as _dep, gather as _gat, shape_weights_dense
     from ..ops.fields import electric_energy, solve_e_mesh
 
     dt = cfg.clamped_dt()
@@ -236,25 +236,37 @@ def _horizon_cost_kdk(
     # u_t + u_{t+1} for each boundary; the last entry is arbitrary (the final
     # merged kick can't change any PE entering the cost) — pad with the last.
     e_pair_seq = jnp.concatenate([e_ext_seq[1:], e_ext_seq[-1:]]) + e_ext_seq
+    norm = cfg.n0 * cfg.length / cfg.n_particles / grid.dx
 
-    def fields(x):
+    def fields_and_kick(x, e_add):
+        """(E_self, -gather(E_self*scale + e_add, x)) with ONE weight eval.
+
+        The deposit at x and the gather at x use the same shape-function
+        weights; sharing the (N, M) tile explicitly (rather than trusting XLA
+        to CSE across the two ops) is the dense-path analogue of the fused
+        Pallas kernel's single weight evaluation."""
+        if cfg.deposit_method == "dense":
+            w = shape_weights_dense(jnp.mod(x, cfg.length), grid, cfg.interpol)
+            e_self = solve_e_mesh(jnp.sum(w, axis=0) * norm, grid, cfg.n0)
+            return e_self, lambda scale: -(w @ (scale * e_self + e_add))
         n = _dep(x, grid, n0=cfg.n0, kind=cfg.interpol, method=cfg.deposit_method)
-        return solve_e_mesh(n, grid, cfg.n0)
+        e_self = solve_e_mesh(n, grid, cfg.n0)
+        return e_self, lambda scale: -_gat(
+            scale * e_self + e_add, x, grid, kind=cfg.interpol, method=cfg.deposit_method
+        )
 
     def body(carry, inp):
         x, vh = carry
         e_pair, u = inp
         x2 = jnp.mod(x + dt * vh, cfg.length)
-        e2 = fields(x2)
-        a = -_gat(2.0 * e2 + e_pair, x2, grid, kind=cfg.interpol, method=cfg.deposit_method)
-        vh2 = vh + 0.5 * dt * a
+        e2, kick = fields_and_kick(x2, e_pair)
+        vh2 = vh + 0.5 * dt * kick(2.0)
         pe = electric_energy(e2, grid, cfg.n_particles)
         c = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
         return (x2, vh2), c
 
-    e0 = fields(state.x)
-    a1 = -_gat(e0 + e_ext_seq[0], state.x, grid, kind=cfg.interpol, method=cfg.deposit_method)
-    vh0 = state.v + 0.5 * dt * a1
+    _, kick0 = fields_and_kick(state.x, e_ext_seq[0])
+    vh0 = state.v + 0.5 * dt * kick0(1.0)
     _, costs = jax.lax.scan(body, (state.x, vh0), (e_pair_seq, coeff_seq))
     return _finite_or_huge(jnp.sum(costs))
 

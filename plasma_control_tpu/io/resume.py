@@ -22,7 +22,7 @@ from ..models.rollout import rollout
 from ..ops.grid import Grid
 from .checkpoint import restore_checkpoint, save_checkpoint
 
-__all__ = ["resumable_rollout", "resumable_mpc_rollout"]
+__all__ = ["resumable_rollout", "resumable_feedback_rollout", "resumable_mpc_rollout"]
 
 
 def resumable_rollout(
@@ -86,6 +86,71 @@ def resumable_rollout(
     xs = np.concatenate(xs_parts) if xs_parts else None
     vs = np.concatenate(vs_parts) if vs_parts else None
     return state, pe, ke, xs, vs
+
+
+def resumable_feedback_rollout(
+    state: PlasmaState,
+    grid: Grid,
+    cfg: SimConfig,
+    ctrl,
+    actuator,
+    ckpt_path: Optional[str] = None,
+    segment_steps: int = 100,
+    resume: bool = True,
+):
+    """Closed-loop phase-conjugate feedback run in resumable segments.
+
+    The feedback law is memoryless in the particle state (the coefficients
+    are recomputed from the current field each step,
+    `/root/reference/run_feedback.py:130-143`), so the checkpoint is just
+    (x, v, t_done) and a resumed run reproduces the uninterrupted trajectory
+    exactly. Returns ``(final_state, traces)`` with the per-step series
+    (field_energy, kinetic, coeff_cos, coeff_sin, input_energy) and xs/vs
+    snapshots covering the steps executed by THIS call (fresh runs include
+    the initial sample, as in :func:`resumable_rollout`).
+    """
+    from ..control.feedback import feedback_rollout
+
+    total = cfg.n_steps
+    like = {
+        "x": np.zeros_like(np.asarray(state.x)),
+        "v": np.zeros_like(np.asarray(state.v)),
+        "t_done": np.asarray(0),
+    }
+
+    t_done = 0
+    if ckpt_path and resume and os.path.exists(ckpt_path):
+        ck = restore_checkpoint(ckpt_path, like=like)
+        t_done = int(ck["t_done"])
+        if 0 < t_done <= total:
+            state = PlasmaState(jnp.asarray(ck["x"]), jnp.asarray(ck["v"]))
+            print(f"# resumed feedback from {ckpt_path} at step {t_done}")
+
+    per_step = ("field_energy", "kinetic", "coeff_cos", "coeff_sin", "input_energy")
+    parts = {k: [] for k in per_step}
+    xs_parts, vs_parts = [], []
+    first = t_done == 0
+    while t_done < total:
+        n = min(segment_steps, total - t_done)
+        out = feedback_rollout(state, grid, cfg, ctrl, actuator, record_snapshots=True, n_steps=n)
+        state = out.final_state
+        for k in parts:
+            parts[k].append(np.asarray(getattr(out, k)))
+        sl = slice(None) if first else slice(1, None)
+        xs_parts.append(np.asarray(out.xs[sl]))
+        vs_parts.append(np.asarray(out.vs[sl]))
+        first = False
+        t_done += n
+        if ckpt_path:
+            save_checkpoint(
+                ckpt_path,
+                {"x": np.asarray(state.x), "v": np.asarray(state.v), "t_done": np.asarray(t_done)},
+            )
+
+    traces = {k: np.concatenate(v) if v else np.zeros(0) for k, v in parts.items()}
+    traces["xs"] = np.concatenate(xs_parts) if xs_parts else None
+    traces["vs"] = np.concatenate(vs_parts) if vs_parts else None
+    return state, traces
 
 
 def resumable_mpc_rollout(

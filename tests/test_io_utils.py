@@ -134,6 +134,52 @@ class TestResumableRollout:
         np.testing.assert_allclose(np.asarray(final_full.x), np.asarray(ref.x), atol=1e-4)
 
 
+class TestResumableFeedback:
+    def _setup(self):
+        from plasma_control_tpu.config import ControlConfig, SimConfig
+        from plasma_control_tpu.control.actuator import make_actuator
+        from plasma_control_tpu.models.pic import init_state
+        from plasma_control_tpu.ops.grid import make_grid
+
+        cfg = SimConfig(n_particles=500, n_mesh=32, dt=0.1, t_max=4.0)  # 40 steps
+        ctrl = ControlConfig(max_mode=2)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        return cfg, ctrl, grid, act, st
+
+    def test_segmented_matches_unsegmented(self):
+        from plasma_control_tpu.control.feedback import feedback_rollout
+        from plasma_control_tpu.io.resume import resumable_feedback_rollout
+
+        cfg, ctrl, grid, act, st = self._setup()
+        ref = feedback_rollout(st, grid, cfg, ctrl, act, record_snapshots=True)
+        _, tr = resumable_feedback_rollout(st, grid, cfg, ctrl, act, segment_steps=7)
+        np.testing.assert_allclose(tr["field_energy"], np.asarray(ref.field_energy), rtol=1e-5)
+        np.testing.assert_allclose(tr["coeff_cos"], np.asarray(ref.coeff_cos), atol=1e-6)
+        np.testing.assert_allclose(tr["xs"][-1], np.asarray(ref.xs[-1]), atol=1e-5)
+
+    def test_resume_continues_exactly(self, tmp_path):
+        import dataclasses
+
+        from plasma_control_tpu.io.resume import resumable_feedback_rollout
+
+        cfg, ctrl, grid, act, st = self._setup()
+        ck = str(tmp_path / "fb-ck")
+
+        # "interrupted" run: first 20 of 40 steps
+        cfg_half = dataclasses.replace(cfg, t_max=2.0)
+        resumable_feedback_rollout(st, grid, cfg_half, ctrl, act, ckpt_path=ck, segment_steps=10)
+
+        # resumed run completes the remaining 20
+        fin, tr = resumable_feedback_rollout(st, grid, cfg, ctrl, act, ckpt_path=ck, segment_steps=10)
+        assert len(tr["field_energy"]) == 20  # only the remaining steps here
+
+        _, ref = resumable_feedback_rollout(st, grid, cfg, ctrl, act, segment_steps=40)
+        np.testing.assert_allclose(np.asarray(fin.x), np.asarray(ref["xs"][-1]), atol=1e-4)
+        np.testing.assert_allclose(tr["field_energy"], ref["field_energy"][20:], rtol=1e-4)
+
+
 class TestResumableMPC:
     def _setup(self):
         from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
