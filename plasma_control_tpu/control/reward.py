@@ -55,6 +55,9 @@ class Reward:
         # inside jit traces.
         self.r_pe_n = 1.0
         self.r_ie_n = n_actions * self.length * 0.25
+        # Initial-state field energy, the scale for the shaped reward (new
+        # capability, not in the reference — see compute_reward_shaped).
+        self.pe0 = self.compute_electric_energy(init_state)
 
     def reinit(self):
         self.feq = estimate_f(self.init_state, self.n_mesh, self.length, self.vmin, self.vmax, self.n0)
@@ -92,3 +95,31 @@ class Reward:
         r_pe = jnp.maximum(1.0 - self.compute_electric_energy(state) / self.r_pe_n, 0.0)
         r_ie = jnp.maximum(1.0 - self.compute_input_energy(action) / self.r_ie_n, 0.0)
         return r_pe * self.alpha + r_ie * self.beta
+
+    # -- scale-free shaped reward (new, not in the reference) ---------------
+    def compute_reward_shaped(self, state: jax.Array, action: jax.Array) -> jax.Array:
+        """``alpha/(1 + PE/PE0) + beta*max(1 - IE/r_ie_n, 0)``.
+
+        Fixes the structural flatness of the reference reward at its own
+        scales: ``max(1 - PE, 0)`` is identically zero whenever PE > 1 —
+        always, at reference workloads (PE ~ 10-400) — so the field-energy
+        term carries no learning signal (`reward.py:71-76` semantics,
+        DEVNOTES 'RL controller findings'). The shaped field term is smooth,
+        strictly decreasing in PE, positive and bounded (safe as a
+        reward-*weight* in the BC terms, which a ``-log PE`` shaping is not),
+        and scale-free: PE is normalized by the episode's initial field
+        energy PE0, giving r_pe = 0.5 at the start, -> alpha as the field is
+        suppressed, -> 0 as the instability grows.
+        """
+        r_pe = 1.0 / (1.0 + self.compute_electric_energy(state) / self.pe0)
+        r_ie = jnp.maximum(1.0 - self.compute_input_energy(action) / self.r_ie_n, 0.0)
+        return r_pe * self.alpha + r_ie * self.beta
+
+    def reward_fn(self, shape: str = "reference"):
+        """Select the training reward: ``"reference"`` (`reward.py:71-76`
+        parity) or ``"shaped"`` (:meth:`compute_reward_shaped`)."""
+        if shape == "reference":
+            return self.compute_reward
+        if shape == "shaped":
+            return self.compute_reward_shaped
+        raise ValueError(f"unknown reward shape {shape!r} (use 'reference' or 'shaped')")

@@ -68,6 +68,10 @@ class DDPGConfig:
     policy_noise: float = 0.1  # target smoothing (`ddpg.py:259-261`)
     noise_clip: float = 0.1
     n_bc_epochs: int = 50  # offline BC epochs (`ddpg.py:390`)
+    # "reference" = the reference reward (structurally flat in PE at its own
+    # workloads, see Reward.compute_reward_shaped); "shaped" = scale-free
+    # smooth alternative (new capability).
+    reward_shape: str = "reference"
 
 
 class DDPGState(NamedTuple):
@@ -274,7 +278,7 @@ def run_episode(
         e_ext = actuator.compute_e_packed(a)
         env2 = step(env, grid, cfg, e_ext)
         s2_packed = jnp.concatenate([env2.x, env2.v])
-        r = reward_cls.compute_reward(s_packed, a)
+        r = reward_cls.reward_fn(hp.reward_shape)(s_packed, a)
         done = jnp.where(t == n_steps - 1, 1.0, 0.0)
 
         buf = buffer_push(buf, s_packed, a, s2_packed, r, done, a_bc)
@@ -349,7 +353,7 @@ def train(
     fb = feedback_rollout(state0, grid, cfg, ctrl, actuator, record_snapshots=True, n_steps=n_steps)
     states_bc = jnp.concatenate([fb.xs[:-1], fb.vs[:-1]], axis=1)  # (T, 2N)
     actions_bc = jnp.concatenate([fb.coeff_cos, fb.coeff_sin], axis=1)  # (T, A)
-    rewards_bc = jax.vmap(reward_cls.compute_reward)(states_bc, actions_bc)
+    rewards_bc = jax.vmap(reward_cls.reward_fn(hp.reward_shape))(states_bc, actions_bc)
     ts = behavior_cloning(nets, ts, states_bc, actions_bc, rewards_bc, k_bc, hp)
 
     # ---- online episodes -------------------------------------------------

@@ -56,6 +56,7 @@ class PPOConfig:
     alpha: float = 0.1
     beta: float = 0.0
     anti_bc_warmstart: bool = True
+    reward_shape: str = "reference"  # or "shaped" (Reward.compute_reward_shaped)
 
 
 class PPOState(NamedTuple):
@@ -173,7 +174,7 @@ def run_episode(
         a = a[0]
         env2 = step(env, grid, cfg, actuator.compute_e_packed(a))
         s2_packed = jnp.concatenate([env2.x, env2.v])
-        r = reward_cls.compute_reward(s_packed, a)
+        r = reward_cls.reward_fn(hp.reward_shape)(s_packed, a)
         done = jnp.where(t == n_steps - 1, 1.0, 0.0)
 
         slot = t % c

@@ -50,6 +50,7 @@ class SACConfig:
     output_max: float = 1.0
     alpha: float = 1.0  # reward weight (`run_sac.py:73`)
     bellman_clamp: float = 1e3
+    reward_shape: str = "reference"  # or "shaped" (Reward.compute_reward_shaped)
 
 
 class SACState(NamedTuple):
@@ -190,7 +191,7 @@ def run_episode(
         env2 = step(env, grid, cfg, e_ext)
         s2_packed = jnp.concatenate([env2.x, env2.v])
         # SAC passes the mesh field to the reward (`sac.py:361`)
-        r = reward_cls.compute_reward(s_packed, e_ext)
+        r = reward_cls.reward_fn(hp.reward_shape)(s_packed, e_ext)
         done = jnp.where(t == n_steps - 1, 1.0, 0.0)
         buf = buffer_push(buf, s_packed, a, s2_packed, r, done)
 

@@ -30,6 +30,8 @@ def main():
     p.add_argument("--alpha", type=float, default=0.100)
     p.add_argument("--beta", type=float, default=0.100)
     p.add_argument("--min_buffer_size", type=int, default=10000)
+    p.add_argument("--reward_shape", type=str, default="reference", choices=["reference", "shaped"],
+                   help="training reward: reference parity, or the scale-free shaped variant")
     p.add_argument("--save_last", type=str, default=None)
     p.add_argument("--save_best", type=str, default=None)
     p.add_argument("--optimize", action="store_true", default=False)
@@ -55,6 +57,7 @@ def main():
         output_max=args["coeff_max"],
         alpha=args["alpha"],
         beta=args["beta"],
+        reward_shape=args["reward_shape"],
     )
     run_rl("ddpg", args, cfg, ctrl, hp)
 

@@ -27,6 +27,8 @@ def main():
     p.add_argument("--k_epoch", type=int, default=4)
     p.add_argument("--alpha", type=float, default=0.10)
     p.add_argument("--beta", type=float, default=0.00)
+    p.add_argument("--reward_shape", type=str, default="reference", choices=["reference", "shaped"],
+                   help="training reward: reference parity, or the scale-free shaped variant")
     p.add_argument("--save_last", type=str, default=None)
     p.add_argument("--save_best", type=str, default=None)
     p.add_argument("--optimize", action="store_true", default=False)
@@ -49,6 +51,7 @@ def main():
         output_max=args["coeff_max"],
         alpha=args["alpha"],
         beta=args["beta"],
+        reward_shape=args["reward_shape"],
     )
     run_rl("ppo", args, cfg, ctrl, hp)
 

@@ -23,6 +23,8 @@ def main():
     p.add_argument("--verbose", type=int, default=10)
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--reward_shape", type=str, default="reference", choices=["reference", "shaped"],
+                   help="training reward: reference parity, or the scale-free shaped variant")
     p.add_argument("--save_last", type=str, default=None)
     p.add_argument("--save_best", type=str, default=None)
     p.add_argument("--optimize", action="store_true", default=False)
@@ -41,6 +43,7 @@ def main():
         output_min=args["coeff_min"],
         output_max=args["coeff_max"],
         alpha=args["alpha"],
+        reward_shape=args["reward_shape"],
     )
     run_rl("sac", args, cfg, ctrl, hp)
 

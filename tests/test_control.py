@@ -4,6 +4,7 @@ feedback-law suppression."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from plasma_control_tpu.config import ControlConfig, SimConfig
 from plasma_control_tpu.control.actuator import make_actuator
@@ -127,6 +128,32 @@ class TestReward:
         assert 1.0 <= val <= 2.0
         kl, pe, ie = r.compute_cost(state, jnp.zeros(6))
         assert float(ie) == 0.0 and float(kl) < 1e-3
+
+    def test_shaped_reward(self, rng):
+        """compute_reward_shaped: r_pe = alpha/2 at the initial state, strictly
+        decreasing in PE, positive; reward_fn selects between the variants."""
+        n = 2000
+        x = jnp.asarray(rng.uniform(0, 50.0, n), dtype=jnp.float32)
+        v = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+        state = jnp.concatenate([x, v])
+        r = Reward(state, n_mesh=100, length=50.0, n_actions=6)
+        a0 = jnp.zeros(6)
+
+        # at the init state PE = PE0, so the field term is exactly alpha/2
+        val0 = float(r.compute_reward_shaped(state, a0))
+        assert abs(val0 - (0.5 * r.alpha + r.beta)) < 1e-5
+
+        # a quieter state (uniform positions => lower PE) scores higher
+        quiet = jnp.concatenate([jnp.linspace(0.0, 50.0, n, endpoint=False), v])
+        louder = jnp.concatenate([0.5 * x, v])  # all particles in [0, L/2]
+        assert float(r.compute_reward_shaped(quiet, a0)) > val0
+        assert float(r.compute_reward_shaped(louder, a0)) < val0
+        assert float(r.compute_reward_shaped(louder, a0)) > 0.0
+
+        assert r.reward_fn("reference") == r.compute_reward
+        assert r.reward_fn("shaped") == r.compute_reward_shaped
+        with pytest.raises(ValueError):
+            r.reward_fn("nope")
 
     def test_tanh_variants_finite(self, rng):
         n = 1000

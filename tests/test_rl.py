@@ -184,6 +184,20 @@ class TestDDPG:
         assert len(hist["reward"]) == 2
         assert np.isfinite(hist["reward"]).all()
 
+    def test_train_shaped_reward(self):
+        """reward_shape='shaped' trains end-to-end (rewards stay finite and
+        positive — the shaped field term never hits the flat-zero regime)."""
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig, train
+
+        cfg, ctrl, grid, act = tiny()
+        hp = DDPGConfig(
+            mlp_dim=16, capacity=256, batch_size=8, min_buffer_size=16,
+            update_freq=4, n_bc_epochs=3, reward_shape="shaped",
+        )
+        nets, ts, best, hist = train(cfg, ctrl, hp, grid, act, jax.random.PRNGKey(0), num_episodes=2, verbose=0)
+        assert np.isfinite(hist["reward"]).all()
+        assert (np.asarray(hist["reward"]) > 0).all()
+
 
 class TestPPO:
     def test_train_two_episodes(self):
