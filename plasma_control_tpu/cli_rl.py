@@ -55,6 +55,12 @@ def run_rl(algo: str, args: dict, cfg: SimConfig, ctrl: ControlConfig, hp):
 
     if args.get("optimize"):
         train_kwargs = dict(num_episodes=args.get("num_episode"), verbose=args.get("verbose", 10))
+        if args.get("checkpoint_every"):
+            train_kwargs.update(
+                ckpt_path=args.get("checkpoint_path") or os.path.join(ckpt_dir, "train_ckpt"),
+                ckpt_every=args["checkpoint_every"],
+                resume=not args.get("no_resume"),
+            )
         if algo == "ddpg":
             train_kwargs.update(save_best=best_path)  # periodic persistence
         nets, ts, best_params, hist = train(cfg, ctrl, hp, grid, actuator, key, **train_kwargs)

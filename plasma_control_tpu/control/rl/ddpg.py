@@ -328,11 +328,20 @@ def train(
     verbose: int = 10,
     save_best: Optional[str] = None,
     save_every: int = 10,
+    ckpt_path: Optional[str] = None,
+    ckpt_every: int = 10,
+    resume: bool = True,
 ):
     """Full training: offline expert BC stage + online episodes
     (parity with ``train``, `ddpg.py:305-539`). If ``save_best`` is given the
     best actor weights are persisted every ``save_every`` episodes (the
     reference saves on every update, `ddpg.py:496`).
+
+    If ``ckpt_path`` is given the COMPLETE training state (networks, optimizer
+    moments, replay buffer, RNG key, history) is checkpointed every
+    ``ckpt_every`` episodes and a preempted run resumes exactly — same episode
+    keys, same updates — where it stopped (new capability; the reference loses
+    everything but the weights, `ddpg.py:496`).
 
     Returns (nets, ts, best_params, history dict with per-episode arrays).
     """
@@ -362,7 +371,18 @@ def train(
     hist = {"reward": [], "q1_loss": [], "q2_loss": [], "p_loss": []}
     best_reward, best_params = None, jax.tree.map(jnp.copy, ts.actor_params)
 
-    for ep in range(episodes):
+    ep0 = 0
+    if ckpt_path and resume:
+        from ...io.resume import restore_train_checkpoint
+
+        ck = restore_train_checkpoint(ckpt_path, ts, buf, k_run, best_params)
+        if ck is not None:
+            ts, buf, k_run = ck["ts"], ck["buf"], ck["key"]
+            ep0, hist = ck["ep_done"], ck["hist"]
+            best_reward, best_params = ck["best_reward"], ck["best_params"]
+            print(f"# resumed DDPG training from {ckpt_path} at episode {ep0}")
+
+    for ep in range(ep0, episodes):
         k_run, k_ep, k_env = jax.random.split(k_run, 3)
         ep_state = init_state(cfg, k_env)  # env.reinit(): full resample
         ts, buf, m = run_episode(
@@ -380,6 +400,10 @@ def train(
             from ...io.checkpoint import save_params
 
             save_params(save_best, best_params)
+        if ckpt_path and ((ep + 1) % ckpt_every == 0 or ep == episodes - 1):
+            from ...io.resume import save_train_checkpoint
+
+            save_train_checkpoint(ckpt_path, ts, buf, k_run, ep + 1, hist, best_reward, best_params)
         if verbose and ep % verbose == 0:
             print(f"| episode:{ep + 1} | reward:{rm:.4f} | p_loss:{hist['p_loss'][-1]:.4f}")
 

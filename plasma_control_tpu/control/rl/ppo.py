@@ -221,9 +221,14 @@ def train(
     key: jax.Array,
     num_episodes: Optional[int] = None,
     verbose: int = 10,
+    ckpt_path: Optional[str] = None,
+    ckpt_every: int = 10,
+    resume: bool = True,
 ):
     """Offline warm-start + online episodes (parity with ``train``,
-    `ppo.py:231-395`)."""
+    `ppo.py:231-395`). ``ckpt_path`` checkpoints the complete training state
+    (params, optimizer moments, RNG key) for exact resume; PPO is on-policy so
+    there is no buffer to persist."""
     import numpy as np
 
     k_init, k_net, k_bc, k_run = jax.random.split(key, 4)
@@ -254,7 +259,19 @@ def train(
     episodes = num_episodes if num_episodes is not None else hp.num_episodes
     hist = {"reward": [], "loss": []}
     best_reward, best_params = None, jax.tree.map(jnp.copy, ts.params)
-    for ep in range(episodes):
+
+    ep0 = 0
+    if ckpt_path and resume:
+        from ...io.resume import restore_train_checkpoint
+
+        ck = restore_train_checkpoint(ckpt_path, ts, None, k_run, best_params)
+        if ck is not None:
+            ts, k_run = ck["ts"], ck["key"]
+            ep0, hist = ck["ep_done"], ck["hist"]
+            best_reward, best_params = ck["best_reward"], ck["best_params"]
+            print(f"# resumed PPO training from {ckpt_path} at episode {ep0}")
+
+    for ep in range(ep0, episodes):
         k_run, k_ep, k_env = jax.random.split(k_run, 3)
         ep_state = init_state(cfg, k_env)
         ts, m = run_episode(nets, ts, ep_state, reward_cls.feq, k_ep, grid, actuator, cfg, ctrl, hp, n_steps)
@@ -264,6 +281,10 @@ def train(
         if best_reward is None or rm > best_reward:
             best_reward = rm
             best_params = jax.tree.map(jnp.copy, ts.params)
+        if ckpt_path and ((ep + 1) % ckpt_every == 0 or ep == episodes - 1):
+            from ...io.resume import save_train_checkpoint
+
+            save_train_checkpoint(ckpt_path, ts, None, k_run, ep + 1, hist, best_reward, best_params)
         if verbose and ep % verbose == 0:
             print(f"| episode:{ep + 1} | loss:{hist['loss'][-1]:.4f} | reward:{rm:.4f}")
 

@@ -236,8 +236,13 @@ def train(
     key: jax.Array,
     num_episodes: Optional[int] = None,
     verbose: int = 10,
+    ckpt_path: Optional[str] = None,
+    ckpt_every: int = 10,
+    resume: bool = True,
 ):
-    """Online-only training (parity with ``train``, `sac.py:291-418`)."""
+    """Online-only training (parity with ``train``, `sac.py:291-418`).
+    ``ckpt_path`` checkpoints the complete training state (networks, optimizer
+    moments, temperature, buffer, RNG key) for exact resume."""
     import numpy as np
 
     k_init, k_net, k_run = jax.random.split(key, 3)
@@ -255,7 +260,19 @@ def train(
     episodes = num_episodes if num_episodes is not None else hp.num_episodes
     hist = {"reward": [], "q1_loss": [], "q2_loss": [], "p_loss": []}
     best_reward, best_params = None, jax.tree.map(jnp.copy, ts.actor_params)
-    for ep in range(episodes):
+
+    ep0 = 0
+    if ckpt_path and resume:
+        from ...io.resume import restore_train_checkpoint
+
+        ck = restore_train_checkpoint(ckpt_path, ts, buf, k_run, best_params)
+        if ck is not None:
+            ts, buf, k_run = ck["ts"], ck["buf"], ck["key"]
+            ep0, hist = ck["ep_done"], ck["hist"]
+            best_reward, best_params = ck["best_reward"], ck["best_params"]
+            print(f"# resumed SAC training from {ckpt_path} at episode {ep0}")
+
+    for ep in range(ep0, episodes):
         k_run, k_ep, k_env = jax.random.split(k_run, 3)
         ep_state = init_state(cfg, k_env)
         ts, buf, m = run_episode(
@@ -269,6 +286,10 @@ def train(
         if int(m["n_updates"]) > 0 and (best_reward is None or rm > best_reward):
             best_reward = rm
             best_params = jax.tree.map(jnp.copy, ts.actor_params)
+        if ckpt_path and ((ep + 1) % ckpt_every == 0 or ep == episodes - 1):
+            from ...io.resume import save_train_checkpoint
+
+            save_train_checkpoint(ckpt_path, ts, buf, k_run, ep + 1, hist, best_reward, best_params)
         if verbose and ep % verbose == 0:
             print(f"| episode:{ep + 1} | p_loss:{hist['p_loss'][-1]:.4f} | reward:{rm:.4f}")
 

@@ -20,9 +20,68 @@ from ..config import SimConfig
 from ..models.pic import PlasmaState
 from ..models.rollout import rollout
 from ..ops.grid import Grid
-from .checkpoint import restore_checkpoint, save_checkpoint
+from .checkpoint import load_params, restore_checkpoint, save_checkpoint, save_params
 
-__all__ = ["resumable_rollout", "resumable_feedback_rollout", "resumable_mpc_rollout"]
+__all__ = [
+    "resumable_rollout",
+    "resumable_feedback_rollout",
+    "resumable_mpc_rollout",
+    "save_train_checkpoint",
+    "restore_train_checkpoint",
+]
+
+
+def save_train_checkpoint(path, ts, buf, key, ep_done, hist, best_reward, best_params):
+    """Persist the COMPLETE RL training state — networks *and* optimizer states
+    (``ts``), replay buffer (``buf``, None for on-policy trainers), episode RNG
+    key, episode counter, per-episode history, and the best actor so far.
+
+    The reference can only save model weights (`torch.save(state_dict)`,
+    `/root/reference/src/control/rl/ddpg.py:496,522-527`) — an interrupted
+    training run loses the optimizer moments and the replay buffer. Layout:
+    ``<path>/state`` (Orbax pytree), ``<path>/meta.npz`` (counters + history),
+    ``<path>/best.msgpack`` (flax weights).
+    """
+    tree = {"ts": ts, "key": key}
+    if buf is not None:
+        tree["buf"] = buf
+    save_checkpoint(os.path.join(path, "state"), tree)
+    save_params(os.path.join(path, "best.msgpack"), best_params)
+    meta = {
+        "ep_done": np.asarray(ep_done),
+        "best_reward": np.asarray(np.nan if best_reward is None else best_reward),
+    }
+    for k, v in hist.items():
+        meta[f"hist_{k}"] = np.asarray(v, dtype=np.float64)
+    np.savez(os.path.join(path, "meta.npz"), **meta)
+
+
+def restore_train_checkpoint(path, like_ts, like_buf, like_key, like_best):
+    """Inverse of :func:`save_train_checkpoint`. Returns ``None`` when no
+    checkpoint exists at ``path``; otherwise a dict with keys
+    ``ts, buf, key, ep_done, hist, best_reward, best_params``."""
+    meta_path = os.path.join(path, "meta.npz")
+    if not os.path.exists(meta_path):
+        return None
+    like = {"ts": like_ts, "key": like_key}
+    if like_buf is not None:
+        like["buf"] = like_buf
+    tree = restore_checkpoint(os.path.join(path, "state"), like=like)
+    meta = np.load(meta_path)
+    ep_done = int(meta["ep_done"])
+    best_reward = float(meta["best_reward"])
+    hist = {
+        k[len("hist_") :]: [float(x) for x in meta[k]] for k in meta.files if k.startswith("hist_")
+    }
+    return {
+        "ts": jax.tree.map(jnp.asarray, tree["ts"]),
+        "buf": jax.tree.map(jnp.asarray, tree["buf"]) if like_buf is not None else None,
+        "key": jnp.asarray(tree["key"]),
+        "ep_done": ep_done,
+        "hist": hist,
+        "best_reward": None if np.isnan(best_reward) else best_reward,
+        "best_params": load_params(os.path.join(path, "best.msgpack"), like_best),
+    }
 
 
 def resumable_rollout(

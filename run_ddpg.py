@@ -35,6 +35,10 @@ def main():
     p.add_argument("--save_last", type=str, default=None)
     p.add_argument("--save_best", type=str, default=None)
     p.add_argument("--optimize", action="store_true", default=False)
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="episodes between full training-state checkpoints (0 = off)")
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--no_resume", action="store_true", help="ignore an existing training checkpoint")
     args = vars(p.parse_args())
 
     cfg = build_sim_config(args)

@@ -184,6 +184,31 @@ class TestDDPG:
         assert len(hist["reward"]) == 2
         assert np.isfinite(hist["reward"]).all()
 
+    def test_train_checkpoint_resume(self, tmp_path):
+        """A run interrupted at episode 2 and resumed reproduces the
+        uninterrupted 4-episode run exactly (same episode keys, same buffer,
+        same optimizer moments)."""
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig, train
+
+        cfg, ctrl, grid, act = tiny()
+        hp = DDPGConfig(
+            mlp_dim=16, capacity=256, batch_size=8, min_buffer_size=16,
+            update_freq=4, n_bc_epochs=2,
+        )
+        key = jax.random.PRNGKey(3)
+        ck = str(tmp_path / "ddpg_ck")
+
+        _, ts_full, _, hist_full = train(cfg, ctrl, hp, grid, act, key, num_episodes=4, verbose=0)
+
+        train(cfg, ctrl, hp, grid, act, key, num_episodes=2, verbose=0,
+              ckpt_path=ck, ckpt_every=1)
+        _, ts_res, _, hist_res = train(cfg, ctrl, hp, grid, act, key, num_episodes=4, verbose=0,
+                                       ckpt_path=ck, ckpt_every=2)
+
+        np.testing.assert_allclose(hist_res["reward"], hist_full["reward"], rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(ts_res.actor_params), jax.tree.leaves(ts_full.actor_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
     def test_train_shaped_reward(self):
         """reward_shape='shaped' trains end-to-end (rewards stay finite and
         positive — the shaped field term never hits the flat-zero regime)."""
@@ -200,6 +225,24 @@ class TestDDPG:
 
 
 class TestPPO:
+    def test_train_checkpoint_resume(self, tmp_path):
+        """Resume without a replay buffer (on-policy path of the train
+        checkpointer): interrupted-at-1 + resumed == uninterrupted 3."""
+        from plasma_control_tpu.control.rl.ppo import PPOConfig, train
+
+        cfg, ctrl, grid, act = tiny()
+        hp = PPOConfig(mlp_dim=16, chunk_size=4, k_epoch=2)
+        key = jax.random.PRNGKey(5)
+        ck = str(tmp_path / "ppo_ck")
+
+        _, ts_full, _, hist_full = train(cfg, ctrl, hp, grid, act, key, num_episodes=3, verbose=0)
+        train(cfg, ctrl, hp, grid, act, key, num_episodes=1, verbose=0, ckpt_path=ck, ckpt_every=1)
+        _, ts_res, _, hist_res = train(cfg, ctrl, hp, grid, act, key, num_episodes=3, verbose=0,
+                                       ckpt_path=ck, ckpt_every=1)
+        np.testing.assert_allclose(hist_res["reward"], hist_full["reward"], rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(ts_res.params), jax.tree.leaves(ts_full.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
     def test_train_two_episodes(self):
         from plasma_control_tpu.control.rl.ppo import PPOConfig, train
 
