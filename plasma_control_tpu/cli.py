@@ -19,7 +19,12 @@ from .config import ControlConfig, MPCConfig, SimConfig
 
 # Persistent compilation cache for every entry point (remote TPU compiles are
 # 40-370 s cold; cached re-compiles are seconds — see DEVNOTES.md).
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+# PLASMA_JAX_CACHE overrides the default repo-relative location (needed when
+# the package is installed into site-packages rather than run from a checkout).
+_CACHE_DIR = os.environ.get(
+    "PLASMA_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
