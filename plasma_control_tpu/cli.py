@@ -75,7 +75,14 @@ def add_mpc_args(p: argparse.ArgumentParser):
     p.add_argument("--algo", type=str, default="mppi", choices=["mppi", "cem"])
     p.add_argument("--plan_particles", type=int, default=0, help="0 = full fidelity")
     p.add_argument("--plan_mesh", type=int, default=0, help="0 = full fidelity")
-    p.add_argument("--plan_integrator", type=str, default="leapfrog",
+    p.add_argument("--smooth_noise", type=float, default=0.0,
+                   help="AR(1) beta for temporally correlated candidate noise (0 = white)")
+    p.add_argument("--n_knots", type=int, default=3,
+                   help="sample candidate noise at N knots and interpolate over the "
+                        "horizon (0 = off/white); takes precedence over --smooth_noise. "
+                        "Default 3: ~2x better suppression at equal n_candidates "
+                        "(experiments/sampler_quality.py)")
+    p.add_argument("--plan_integrator", type=str, default="kdk",
                    choices=["env", "leapfrog", "kdk"],
                    help="candidate-rollout integrator; applied steps always use Yoshida-4")
     p.add_argument("--plan_kernel", type=str, default="auto",
@@ -128,7 +135,9 @@ def build_mpc_config(args: dict) -> MPCConfig:
         algo=args["algo"],
         plan_particles=args["plan_particles"] or None,
         plan_mesh=args["plan_mesh"] or None,
-        plan_integrator=args.get("plan_integrator", "leapfrog"),
+        smooth_noise=args.get("smooth_noise", 0.0),
+        n_knots=args.get("n_knots", 0) or None,
+        plan_integrator=args.get("plan_integrator", "kdk"),
         plan_kernel=args.get("plan_kernel", "auto"),
     )
 

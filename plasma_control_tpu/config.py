@@ -136,6 +136,19 @@ class MPCConfig:
     # (eps_t = beta*eps_{t-1} + sqrt(1-beta^2)*w_t), keeping per-step
     # variance sigma^2 while favoring smooth control sequences.
     smooth_noise: float = 0.0
+    # Knot parameterization of candidate perturbations: sample noise at
+    # n_knots points along the horizon and linearly interpolate to all H
+    # steps (marginal variance renormalized to sigma^2 at every step).
+    # Cuts the effective search dimension from H*2K to n_knots*2K — smooth
+    # candidates by construction, better suppression at equal n_candidates
+    # for horizons where the optimal control varies slowly (the physical
+    # mode amplitudes evolve on the plasma-frequency scale, ~10 dt).
+    # Takes precedence over smooth_noise. None/>=horizon = off (white noise).
+    # Default 3: measured 2.2x better two-stream suppression than white
+    # noise at equal K (tail PE 27.9 vs 61.5, 4 seeds; also beats AR(1)
+    # beta=0.8 at 29.8 — experiments/sampler_quality.py). Rollout cost
+    # unchanged. Horizons <= n_knots automatically fall back to white noise.
+    n_knots: Optional[int] = 3
     # Planning-step kernel. "auto"/"xla" use the XLA op-by-op path — measured
     # FASTER than every Pallas variant at the benchmark planning shapes
     # (kdk/xla 399 vs fused 137 vs packed 172 solves/s on v5e; see

@@ -32,7 +32,7 @@ from ..models.rollout import _energies
 from ..ops.grid import Grid
 from .actuator import FourierActuator
 
-__all__ = ["MPCOutput", "candidate_costs", "plan", "mpc_rollout"]
+__all__ = ["MPCOutput", "candidate_costs", "knot_noise", "plan", "mpc_rollout"]
 
 
 def _plan_model(state: PlasmaState, grid: Grid, cfg: SimConfig, mpc: MPCConfig):
@@ -186,6 +186,23 @@ def _step_and_pe(
         x = x + c * dt * v
     pe = electric_energy(e_self, grid, cfg.n_particles)
     return PlasmaState(jnp.mod(x, cfg.length), v), pe
+
+
+def knot_noise(key, n_candidates, horizon, dim, n_knots, dtype=jnp.float32):
+    """(K, H, D) unit-variance noise interpolated from ``n_knots`` samples.
+
+    Samples iid normals at n_knots points along the horizon and linearly
+    interpolates; each step's marginal variance is renormalized to 1 (linear
+    interpolation of iid normals has variance (1-f)^2 + f^2 < 1 between
+    knots). Candidates are piecewise-linear in t — smooth by construction —
+    and the effective search dimension drops from H*D to n_knots*D.
+    """
+    eps = jax.random.normal(key, (n_candidates, n_knots, dim), dtype=dtype)
+    t = jnp.linspace(0.0, n_knots - 1.0, horizon)
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, max(n_knots - 2, 0))
+    f = (t - i0)[None, :, None].astype(dtype)
+    out = (1.0 - f) * eps[:, i0] + f * eps[:, jnp.minimum(i0 + 1, n_knots - 1)]
+    return out / jnp.sqrt((1.0 - f) ** 2 + f**2)
 
 
 def _finite_or_huge(total: jax.Array) -> jax.Array:
@@ -413,9 +430,14 @@ def plan(
         _, out = jax.lax.scan(ar, eps_t[0], eps_t[1:])
         return jnp.moveaxis(jnp.concatenate([eps_t[:1], out]), 0, 1)
 
+    def draw(k):
+        """Candidate perturbations: knot-interpolated, AR(1)-colored, or white."""
+        if mpc.n_knots is not None and mpc.n_knots < h:
+            return knot_noise(k, mpc.n_candidates, h, d, mpc.n_knots, mean.dtype)
+        return _colored(jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype))
+
     def sample(k):
-        eps = _colored(jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype))
-        cand = mean[None] + sigma * eps
+        cand = mean[None] + sigma * draw(k)
         # keep the nominal itself in the pool (index 0): never regress
         cand = cand.at[0].set(mean)
         if fb_seq is not None:
@@ -434,8 +456,7 @@ def plan(
     else:  # CEM
         def cem_iter(carry, k):
             mu, sd = carry
-            eps = jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype)
-            cand = jnp.clip(mu[None] + sd * eps, ctrl.coeff_min, ctrl.coeff_max)
+            cand = jnp.clip(mu[None] + sd * draw(k), ctrl.coeff_min, ctrl.coeff_max)
             cand = cand.at[0].set(mu)
             if fb_seq is not None:
                 cand = cand.at[1].set(jnp.clip(fb_seq, ctrl.coeff_min, ctrl.coeff_max))
