@@ -263,6 +263,24 @@ class TestSAC:
         assert len(hist["reward"]) == 2
         assert np.isfinite(hist["reward"]).all()
 
+    def test_train_checkpoint_resume(self, tmp_path):
+        """SAC resume (buffer + learned temperature in the train state):
+        interrupted-at-1 + resumed == uninterrupted 3."""
+        from plasma_control_tpu.control.rl.sac import SACConfig, train
+
+        cfg, ctrl, grid, act = tiny()
+        hp = SACConfig(mlp_dim=16, capacity=64, batch_size=8)
+        key = jax.random.PRNGKey(7)
+        ck = str(tmp_path / "sac_ck")
+
+        _, ts_full, _, hist_full = train(cfg, ctrl, hp, grid, act, key, num_episodes=3, verbose=0)
+        train(cfg, ctrl, hp, grid, act, key, num_episodes=1, verbose=0, ckpt_path=ck, ckpt_every=1)
+        _, ts_res, _, hist_res = train(cfg, ctrl, hp, grid, act, key, num_episodes=3, verbose=0,
+                                       ckpt_path=ck, ckpt_every=1)
+        np.testing.assert_allclose(hist_res["reward"], hist_full["reward"], rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(ts_res.actor_params), jax.tree.leaves(ts_full.actor_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
 
 class TestDAgger:
     def test_dagger_loop_runs_and_fits(self):
