@@ -79,7 +79,7 @@ def add_mpc_args(p: argparse.ArgumentParser):
                    help="AR(1) beta for temporally correlated candidate noise (0 = white)")
     p.add_argument("--n_knots", type=int, default=3,
                    help="sample candidate noise at N knots and interpolate over the "
-                        "horizon (0 = off/white); takes precedence over --smooth_noise. "
+                        "horizon (0 = off/white); an explicit --smooth_noise > 0 wins. "
                         "Default 3: ~2x better suppression at equal n_candidates "
                         "(experiments/sampler_quality.py)")
     p.add_argument("--plan_integrator", type=str, default="kdk",

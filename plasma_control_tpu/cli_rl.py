@@ -55,10 +55,12 @@ def run_rl(algo: str, args: dict, cfg: SimConfig, ctrl: ControlConfig, hp):
 
     if args.get("optimize"):
         train_kwargs = dict(num_episodes=args.get("num_episode"), verbose=args.get("verbose", 10))
-        if args.get("checkpoint_every"):
+        # either flag alone enables full-state checkpointing (a bare
+        # --checkpoint_path must resume as documented; default cadence 10)
+        if args.get("checkpoint_every") or args.get("checkpoint_path"):
             train_kwargs.update(
                 ckpt_path=args.get("checkpoint_path") or os.path.join(ckpt_dir, "train_ckpt"),
-                ckpt_every=args["checkpoint_every"],
+                ckpt_every=args.get("checkpoint_every") or 10,
                 resume=not args.get("no_resume"),
             )
         if algo == "ddpg":

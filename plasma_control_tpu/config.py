@@ -143,7 +143,9 @@ class MPCConfig:
     # candidates by construction, better suppression at equal n_candidates
     # for horizons where the optimal control varies slowly (the physical
     # mode amplitudes evolve on the plasma-frequency scale, ~10 dt).
-    # Takes precedence over smooth_noise. None/>=horizon = off (white noise).
+    # An explicitly-set smooth_noise > 0 takes precedence (AR(1) is never on
+    # by default, so setting it expresses intent). None/0/>=horizon = off
+    # (white noise).
     # Default 3: measured 2.2x better two-stream suppression than white
     # noise at equal K (tail PE 27.9 vs 61.5, 4 seeds; also beats AR(1)
     # beta=0.8 at 29.8 — experiments/sampler_quality.py). Rollout cost

@@ -431,8 +431,14 @@ def plan(
         return jnp.moveaxis(jnp.concatenate([eps_t[:1], out]), 0, 1)
 
     def draw(k):
-        """Candidate perturbations: knot-interpolated, AR(1)-colored, or white."""
-        if mpc.n_knots is not None and mpc.n_knots < h:
+        """Candidate perturbations: AR(1)-colored, knot-interpolated, or white.
+
+        An explicit ``smooth_noise > 0`` wins over the knot default: the AR(1)
+        option is only ever set deliberately (its default is 0), whereas
+        ``n_knots=3`` is the silent MPCConfig default — honoring the explicit
+        setting avoids silently ignoring it. ``n_knots`` falsy (None/0) or
+        >= horizon falls back to white noise."""
+        if mpc.smooth_noise <= 0.0 and mpc.n_knots and 1 <= mpc.n_knots < h:
             return knot_noise(k, mpc.n_candidates, h, d, mpc.n_knots, mean.dtype)
         return _colored(jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype))
 

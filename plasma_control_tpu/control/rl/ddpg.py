@@ -358,29 +358,31 @@ def train(
         hp.alpha, hp.beta, ctrl.n_actions,
     )
 
-    # ---- offline stage: expert rollout + reward-weighted BC --------------
-    fb = feedback_rollout(state0, grid, cfg, ctrl, actuator, record_snapshots=True, n_steps=n_steps)
-    states_bc = jnp.concatenate([fb.xs[:-1], fb.vs[:-1]], axis=1)  # (T, 2N)
-    actions_bc = jnp.concatenate([fb.coeff_cos, fb.coeff_sin], axis=1)  # (T, A)
-    rewards_bc = jax.vmap(reward_cls.reward_fn(hp.reward_shape))(states_bc, actions_bc)
-    ts = behavior_cloning(nets, ts, states_bc, actions_bc, rewards_bc, k_bc, hp)
-
-    # ---- online episodes -------------------------------------------------
     buf = buffer_init(hp.capacity, 2 * cfg.n_particles, ctrl.n_actions)
     episodes = num_episodes if num_episodes is not None else hp.num_episodes
     hist = {"reward": [], "q1_loss": [], "q2_loss": [], "p_loss": []}
-    best_reward, best_params = None, jax.tree.map(jnp.copy, ts.actor_params)
 
-    ep0 = 0
+    # Attempt resume BEFORE the offline stage: a restored checkpoint would
+    # overwrite the BC'd networks anyway, so the expert rollout + cloning
+    # (a full episode of compute) is skipped entirely on resume.
+    ep0, ck = 0, None
     if ckpt_path and resume:
         from ...io.resume import restore_train_checkpoint
 
-        ck = restore_train_checkpoint(ckpt_path, ts, buf, k_run, best_params)
-        if ck is not None:
-            ts, buf, k_run = ck["ts"], ck["buf"], ck["key"]
-            ep0, hist = ck["ep_done"], ck["hist"]
-            best_reward, best_params = ck["best_reward"], ck["best_params"]
-            print(f"# resumed DDPG training from {ckpt_path} at episode {ep0}")
+        ck = restore_train_checkpoint(ckpt_path, ts, buf, k_run, ts.actor_params)
+    if ck is not None:
+        ts, buf, k_run = ck["ts"], ck["buf"], ck["key"]
+        ep0, hist = ck["ep_done"], ck["hist"]
+        best_reward, best_params = ck["best_reward"], ck["best_params"]
+        print(f"# resumed DDPG training from {ckpt_path} at episode {ep0}")
+    else:
+        # ---- offline stage: expert rollout + reward-weighted BC ----------
+        fb = feedback_rollout(state0, grid, cfg, ctrl, actuator, record_snapshots=True, n_steps=n_steps)
+        states_bc = jnp.concatenate([fb.xs[:-1], fb.vs[:-1]], axis=1)  # (T, 2N)
+        actions_bc = jnp.concatenate([fb.coeff_cos, fb.coeff_sin], axis=1)  # (T, A)
+        rewards_bc = jax.vmap(reward_cls.reward_fn(hp.reward_shape))(states_bc, actions_bc)
+        ts = behavior_cloning(nets, ts, states_bc, actions_bc, rewards_bc, k_bc, hp)
+        best_reward, best_params = None, jax.tree.map(jnp.copy, ts.actor_params)
 
     for ep in range(ep0, episodes):
         k_run, k_ep, k_env = jax.random.split(k_run, 3)

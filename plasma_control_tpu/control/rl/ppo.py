@@ -242,7 +242,16 @@ def train(
         hp.alpha, hp.beta, ctrl.n_actions,
     )
 
-    if hp.anti_bc_warmstart:
+    # Attempt resume BEFORE the warm start: a restored checkpoint would
+    # overwrite the warm-started params, so the expert rollout is skipped
+    # entirely on resume.
+    ep0, ck = 0, None
+    if ckpt_path and resume:
+        from ...io.resume import restore_train_checkpoint
+
+        ck = restore_train_checkpoint(ckpt_path, ts, None, k_run, ts.params)
+
+    if ck is None and hp.anti_bc_warmstart:
         # single -sum(l2) step toward/away from the expert (`ppo.py:292-299`)
         fb = feedback_rollout(state0, grid, cfg, ctrl, actuator, record_snapshots=True, n_steps=n_steps)
         states_bc = jnp.concatenate([fb.xs[:-1], fb.vs[:-1]], axis=1)
@@ -260,16 +269,11 @@ def train(
     hist = {"reward": [], "loss": []}
     best_reward, best_params = None, jax.tree.map(jnp.copy, ts.params)
 
-    ep0 = 0
-    if ckpt_path and resume:
-        from ...io.resume import restore_train_checkpoint
-
-        ck = restore_train_checkpoint(ckpt_path, ts, None, k_run, best_params)
-        if ck is not None:
-            ts, k_run = ck["ts"], ck["key"]
-            ep0, hist = ck["ep_done"], ck["hist"]
-            best_reward, best_params = ck["best_reward"], ck["best_params"]
-            print(f"# resumed PPO training from {ckpt_path} at episode {ep0}")
+    if ck is not None:
+        ts, k_run = ck["ts"], ck["key"]
+        ep0, hist = ck["ep_done"], ck["hist"]
+        best_reward, best_params = ck["best_reward"], ck["best_params"]
+        print(f"# resumed PPO training from {ckpt_path} at episode {ep0}")
 
     for ep in range(ep0, episodes):
         k_run, k_ep, k_env = jax.random.split(k_run, 3)

@@ -41,8 +41,14 @@ def save_train_checkpoint(path, ts, buf, key, ep_done, hist, best_reward, best_p
     training run loses the optimizer moments and the replay buffer. Layout:
     ``<path>/state`` (Orbax pytree), ``<path>/meta.npz`` (counters + history),
     ``<path>/best.msgpack`` (flax weights).
+
+    The write is crash-consistent: the episode counter is stored both inside
+    the Orbax tree (atomic rename on commit) and in ``meta.npz`` (written to a
+    temp name and ``os.replace``d); restore refuses a checkpoint whose two
+    counters disagree (a preemption landed between the two writes) rather
+    than resuming from mismatched state.
     """
-    tree = {"ts": ts, "key": key}
+    tree = {"ts": ts, "key": key, "ep": jnp.asarray(ep_done)}
     if buf is not None:
         tree["buf"] = buf
     save_checkpoint(os.path.join(path, "state"), tree)
@@ -53,23 +59,49 @@ def save_train_checkpoint(path, ts, buf, key, ep_done, hist, best_reward, best_p
     }
     for k, v in hist.items():
         meta[f"hist_{k}"] = np.asarray(v, dtype=np.float64)
-    np.savez(os.path.join(path, "meta.npz"), **meta)
+    tmp = os.path.join(path, "meta.npz.tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **meta)
+    os.replace(tmp, os.path.join(path, "meta.npz"))
 
 
 def restore_train_checkpoint(path, like_ts, like_buf, like_key, like_best):
     """Inverse of :func:`save_train_checkpoint`. Returns ``None`` when no
-    checkpoint exists at ``path``; otherwise a dict with keys
-    ``ts, buf, key, ep_done, hist, best_reward, best_params``."""
+    checkpoint exists at ``path`` — or when the one there is unreadable or
+    internally inconsistent (preempted mid-write; training restarts from
+    scratch rather than resuming from mismatched state). Otherwise a dict
+    with keys ``ts, buf, key, ep_done, hist, best_reward, best_params``."""
+    import warnings
+
     meta_path = os.path.join(path, "meta.npz")
     if not os.path.exists(meta_path):
         return None
-    like = {"ts": like_ts, "key": like_key}
+    try:
+        meta = np.load(meta_path)
+        ep_done = int(meta["ep_done"])
+        best_reward = float(meta["best_reward"])
+    except Exception as e:  # truncated meta (preempted mid-write)
+        warnings.warn(f"unreadable training checkpoint meta at {meta_path} ({e}); starting fresh")
+        return None
+    like = {"ts": like_ts, "key": like_key, "ep": jnp.asarray(0)}
     if like_buf is not None:
         like["buf"] = like_buf
-    tree = restore_checkpoint(os.path.join(path, "state"), like=like)
-    meta = np.load(meta_path)
-    ep_done = int(meta["ep_done"])
-    best_reward = float(meta["best_reward"])
+    try:
+        tree = restore_checkpoint(os.path.join(path, "state"), like=like)
+    except Exception:
+        try:  # legacy checkpoints predate the in-tree "ep" counter
+            del like["ep"]
+            tree = restore_checkpoint(os.path.join(path, "state"), like=like)
+            tree["ep"] = jnp.asarray(ep_done)
+        except Exception as e:  # partial orbax dir, schema drift
+            warnings.warn(f"unreadable training checkpoint at {path} ({e}); starting fresh")
+            return None
+    if int(tree["ep"]) != ep_done:
+        warnings.warn(
+            f"inconsistent training checkpoint at {path}: state is from episode "
+            f"{int(tree['ep'])} but meta says {ep_done} (preempted mid-save); starting fresh"
+        )
+        return None
     hist = {
         k[len("hist_") :]: [float(x) for x in meta[k]] for k in meta.files if k.startswith("hist_")
     }

@@ -268,3 +268,25 @@ class TestDebug:
                 jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
         # config restored
         assert not jax.config.jax_debug_nans
+
+
+class TestTrainCheckpointRobustness:
+    def test_corrupt_meta_returns_none(self, tmp_path):
+        """A truncated meta.npz (preemption mid-write before the atomic
+        replace existed) must warn and return None — fresh start — instead of
+        raising into the trainer."""
+        import warnings
+
+        from plasma_control_tpu.io.resume import restore_train_checkpoint
+
+        d = tmp_path / "ck"
+        d.mkdir()
+        (d / "meta.npz").write_bytes(b"\x00garbage")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            assert restore_train_checkpoint(str(d), None, None, None, None) is None
+
+    def test_missing_dir_returns_none(self, tmp_path):
+        from plasma_control_tpu.io.resume import restore_train_checkpoint
+
+        assert restore_train_checkpoint(str(tmp_path / "nope"), None, None, None, None) is None
