@@ -3,13 +3,19 @@
 Headline: full-horizon MPC solves/s on one chip (BASELINE.json config 3:
 bump-on-tail, 4 Fourier control modes, 512 sampled rollouts per solve,
 horizon 10, reference default workload N=5000 particles / 250 cells).
+The solve uses the framework's default planner (MPCConfig: gridless
+spectral candidate dynamics, plan_modes=16, knot-sampled candidates) —
+closed-loop suppression quality vs the grid planner is equal within seed
+noise (tests/test_mpc.py, DEVNOTES controller landscape), so this is the
+same control work, not a cheaper problem.
 
-``vs_baseline`` compares against a compiled CPU implementation of the *same*
-solve with the reference's exact kernel semantics (native/pic_ref.cpp: Thomas
-+ Sherman-Morrison Poisson solve, CIC, Yoshida-4), measured in-process — the
-reference itself publishes no numbers (BASELINE.md) and its hot kernels are
-Numba/LLVM-compiled, so -O3 C++ is the honest single-core apples-to-apples
-baseline (a NumPy fallback is used if no toolchain is available).
+``vs_baseline`` compares against a compiled CPU implementation of the same
+K x H solve with the reference's exact kernel semantics (native/pic_ref.cpp:
+Thomas + Sherman-Morrison Poisson solve, CIC, Yoshida-4) at the same planning
+shapes, measured in-process — the reference itself publishes no numbers
+(BASELINE.md) and its hot kernels are Numba/LLVM-compiled, so -O3 C++ is the
+honest single-core apples-to-apples baseline (a NumPy fallback is used if no
+toolchain is available).
 
 Details (push-throughput sub-benchmark, timings) go to BENCH_DETAILS.json.
 """

@@ -163,6 +163,25 @@ class MPCConfig:
     # one merged-kick gather per step at full lane utilization — still loses
     # to XLA on v5e despite the leaner op count; kept as the v3 substrate).
     plan_kernel: Literal["auto", "xla", "fused", "packed"] = "auto"
+    # Planning *dynamics* model. "spectral" (default) = gridless low-mode
+    # dynamics: the self-field is the truncated Fourier series of the exact
+    # point-particle density (continuum Poisson mode-by-mode), deposit and
+    # gather become streamed mode projections — no mesh, no shape-function
+    # weights, no (N, M) weight tiles; measured 1021 solves/s at
+    # plan_modes=16 vs the grid KDK planner's 399 at the benchmark shapes
+    # (v5e, slope method) with equal closed-loop suppression (seed-averaged
+    # tail PE 61.8-72.7 spectral vs 69.7 grid on the two-stream test config,
+    # 5.7 vs 5.2 on bump-on-tail). "grid" = the mesh PIC at plan fidelity
+    # (plan_particles/plan_mesh above) — reference-faithful plan dynamics;
+    # required by plan_kernel="fused"/"packed" and plan_integrator choices.
+    # Candidate ranking matches the grid planner when plan_modes covers the
+    # unstable modes (~2-4x max_mode): rank corr 0.987+, see
+    # control/mpc.py::_horizon_cost_spectral and
+    # tests/test_mpc.py::test_spectral_planner_preserves_ranking.
+    plan_model: Literal["grid", "spectral"] = "spectral"
+    # Number of Fourier modes kept by the spectral planning model (at least
+    # max_mode is always used so the actuator's modes are inside the model).
+    plan_modes: int = 16
 
 
 def preset(name: str, **overrides) -> SimConfig:

@@ -288,6 +288,149 @@ def _horizon_cost_kdk(
     return _finite_or_huge(jnp.sum(costs))
 
 
+def _mode_basis(x: jax.Array, length: float, n_modes: int):
+    """(Km, N) cos/sin basis cos(k_m x), sin(k_m x), k_m = 2 pi m / L.
+
+    Built by the Chebyshev-style angle-addition recurrence — TWO
+    transcendental evaluations per particle total, 4 MACs per extra mode —
+    and laid out modes-major so the particle axis rides the 128-wide lane
+    dimension of the VPU (the (N, M) grid-planner weight tiles put the mesh
+    axis on lanes at <=half utilization; see DEVNOTES perf map)."""
+    t = (2.0 * jnp.pi / length) * x
+    c1, s1 = jnp.cos(t), jnp.sin(t)
+    cs, ss = [c1], [s1]
+    c_prev, s_prev = c1, s1
+    for _ in range(n_modes - 1):
+        c_next = c_prev * c1 - s_prev * s1
+        s_next = s_prev * c1 + c_prev * s1
+        cs.append(c_next)
+        ss.append(s_next)
+        c_prev, s_prev = c_next, s_next
+    return jnp.stack(cs), jnp.stack(ss)
+
+
+def _mode_sums(c1: jax.Array, s1: jax.Array, n_modes: int):
+    """Mode sums c_m = sum_p cos(k_m x_p), s_m = sum_p sin(k_m x_p), m=1..Km.
+
+    Streaming form of ``sum(_mode_basis(x), axis=-1)``: the recurrence runs
+    with two live (N,) registers and per-mode scalar reductions, so the
+    (Km, N) basis tensor is never materialized (XLA fuses the whole unrolled
+    chain into one kernel — the HBM traffic is just x in, 2*Km scalars out).
+    """
+    cs, ss = [jnp.sum(c1, axis=-1)], [jnp.sum(s1, axis=-1)]
+    c_prev, s_prev = c1, s1
+    for _ in range(n_modes - 1):
+        c_next = c_prev * c1 - s_prev * s1
+        s_next = s_prev * c1 + c_prev * s1
+        cs.append(jnp.sum(c_next, axis=-1))
+        ss.append(jnp.sum(s_next, axis=-1))
+        c_prev, s_prev = c_next, s_next
+    return jnp.stack(cs, axis=-1), jnp.stack(ss, axis=-1)
+
+
+def _mode_eval(c1: jax.Array, s1: jax.Array, pc: jax.Array, ps: jax.Array):
+    """sum_m pc[m] cos(k_m x_p) + ps[m] sin(k_m x_p) per particle, streamed.
+
+    Same recurrence as :func:`_mode_sums` with a running (N,) accumulator
+    instead of a dot_general — a 16-wide contraction would run the MXU at
+    ~1/8 utilization per batch element; as unrolled VPU MACs it fuses with
+    the recurrence and touches HBM only for c1/s1."""
+    n_modes = pc.shape[-1]
+    acc = pc[..., 0:1] * c1 + ps[..., 0:1] * s1
+    c_prev, s_prev = c1, s1
+    for m in range(1, n_modes):
+        c_next = c_prev * c1 - s_prev * s1
+        s_next = s_prev * c1 + c_prev * s1
+        acc = acc + pc[..., m : m + 1] * c_next + ps[..., m : m + 1] * s_next
+        c_prev, s_prev = c_next, s_next
+    return acc
+
+
+def _horizon_cost_spectral(
+    state: PlasmaState,
+    coeff_seq: jax.Array,  # (H, 2K)
+    cfg: SimConfig,
+    mpc: MPCConfig,
+    actuator: FourierActuator,
+) -> jax.Array:
+    """Gridless low-mode spectral candidate rollout (``plan_model="spectral"``).
+
+    The planning dynamics drop the mesh entirely: the self-consistent field is
+    the truncated Fourier series of the exact point-particle density,
+
+        n_m = (n0/N) sum_p e^{-i k_m x_p},   E_m = i n_m / k_m   (m = 1..Km),
+
+    i.e. the continuum Poisson solve mode-by-mode (the reference's FD
+    Laplacian/gradient pair, `/root/reference/src/env/solve.py:28-53` +
+    `/root/reference/src/env/util.py:8-26`, converges to exactly this as
+    dx -> 0). Deposit and gather both become (Km, N) mode projections —
+    O(N*Km) MACs with NO shape-function weights, no scatter, no mesh — a
+    1D gridless ("sheet-model") PIC truncated to the Km lowest modes. The
+    instabilities under control live in modes 1-3 at the reference scales
+    (k_m v_b ~ omega_p => m <= 3 for L=50, v_b=3), so a Km ~ 2-4x above
+    max_mode ranks candidates like the full grid dynamics (tested:
+    tests/test_mpc.py::test_spectral_planner_preserves_ranking).
+
+    Time stepping is the same merged-half-kick staggered KDK as
+    :func:`_horizon_cost_kdk`; the post-drift PE is exact *within the model*:
+    PE = (n0^2/N) sum_m (c_m^2 + s_m^2) / k_m^2 with the reference's N/L
+    rescale (`/root/reference/src/env/util.py:129-131`) already folded in.
+    """
+    if mpc.plan_kernel in ("fused", "packed"):
+        raise ValueError(
+            f"plan_kernel={mpc.plan_kernel!r} is a grid-planner Pallas kernel; "
+            "use plan_model='grid' with it (the spectral model has no mesh)"
+        )
+    n_p = cfg.n_particles
+    ka = actuator.max_mode
+    km = max(int(mpc.plan_modes), ka)  # actuator modes always inside the model
+    dt = cfg.clamped_dt()
+    dtype = state.x.dtype
+    k = (2.0 * jnp.pi / cfg.length) * jnp.arange(1, km + 1, dtype=dtype)
+    g = 2.0 * cfg.n0 / (n_p * k)  # self-field coefficient scale
+    inv_k2 = 1.0 / (k * k)
+    pe_scale = cfg.n0**2 / n_p
+
+    def pad(u_half):  # (..., ka) -> (..., km)
+        return jnp.concatenate(
+            [u_half, jnp.zeros(u_half.shape[:-1] + (km - ka,), dtype)], axis=-1
+        )
+
+    u_c, u_s = pad(coeff_seq[..., :ka]), pad(coeff_seq[..., ka:])
+    # u_t + u_{t+1} at each step boundary (last pad arbitrary, as in the grid
+    # KDK path: the final merged kick cannot change any PE entering the cost)
+    pair_c = jnp.concatenate([u_c[1:], u_c[-1:]]) + u_c
+    pair_s = jnp.concatenate([u_s[1:], u_s[-1:]]) + u_s
+
+    two_pi_over_l = 2.0 * jnp.pi / cfg.length
+
+    def body(carry, inp):
+        x, vh = carry
+        pc_ext, ps_ext, u = inp
+        x2 = jnp.mod(x + dt * vh, cfg.length)
+        t = two_pi_over_l * x2
+        c1, s1 = jnp.cos(t), jnp.sin(t)
+        c, s = _mode_sums(c1, s1, km)  # (Km,) mode sums
+        # E_self(x) = sum_m g_m s_m cos(k_m x) - g_m c_m sin(k_m x)
+        pc = 2.0 * (g * s) + pc_ext
+        ps = 2.0 * (-g * c) + ps_ext
+        accel = -_mode_eval(c1, s1, pc, ps)
+        vh2 = vh + 0.5 * dt * accel
+        pe = pe_scale * jnp.sum((c * c + s * s) * inv_k2, axis=-1)
+        cost = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
+        return (x2, vh2), cost
+
+    # initial (un-merged) half-kick at the current positions
+    t0 = two_pi_over_l * state.x
+    c1_0, s1_0 = jnp.cos(t0), jnp.sin(t0)
+    c0, s0 = _mode_sums(c1_0, s1_0, km)
+    pc0 = g * s0 + u_c[0]
+    ps0 = -(g * c0) + u_s[0]
+    vh0 = state.v + 0.5 * dt * (-_mode_eval(c1_0, s1_0, pc0, ps0))
+    _, costs = jax.lax.scan(body, (state.x, vh0), (pair_c, pair_s, coeff_seq))
+    return _finite_or_huge(jnp.sum(costs))
+
+
 def _horizon_cost(
     state: PlasmaState,
     coeff_seq: jax.Array,  # (H, 2K)
@@ -297,6 +440,8 @@ def _horizon_cost(
     actuator: FourierActuator,
 ) -> jax.Array:
     """Cost of one candidate control sequence over the planning horizon."""
+    if mpc.plan_model == "spectral":
+        return _horizon_cost_spectral(state, coeff_seq, cfg, mpc, actuator)
     if mpc.plan_integrator == "kdk":
         return _horizon_cost_kdk(state, coeff_seq, grid, cfg, mpc, actuator)
 
@@ -321,7 +466,11 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
     initial state is broadcast across the candidate grid, never through HBM);
     otherwise a vmapped per-candidate scan.
     """
-    if mpc.plan_integrator == "kdk" and _use_fused_kernel(grid, cfg, mpc.plan_kernel):
+    if (
+        mpc.plan_model == "grid"
+        and mpc.plan_integrator == "kdk"
+        and _use_fused_kernel(grid, cfg, mpc.plan_kernel)
+    ):
         from ..ops.pallas.fused_step import fused_kdk_horizon, fused_packed_horizon
 
         horizon_kernel = (

@@ -46,9 +46,9 @@ class TestPlan:
         st = init_state(cfg, jax.random.PRNGKey(0))
         cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (24, 6, 4))
         c_env = np.asarray(candidate_costs(
-            st, cand, grid, cfg, MPCConfig(horizon=6, plan_integrator="env"), act))
+            st, cand, grid, cfg, MPCConfig(horizon=6, plan_model="grid", plan_integrator="env"), act))
         c_lf = np.asarray(candidate_costs(
-            st, cand, grid, cfg, MPCConfig(horizon=6, plan_integrator="leapfrog"), act))
+            st, cand, grid, cfg, MPCConfig(horizon=6, plan_model="grid", plan_integrator="leapfrog"), act))
         assert np.isfinite(c_lf).all()
         # Spearman rank correlation, no scipy needed
         r_env = np.argsort(np.argsort(c_env)).astype(float)
@@ -68,15 +68,74 @@ class TestPlan:
         st = init_state(cfg, jax.random.PRNGKey(0))
         cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (24, 6, 4))
         c_env = np.asarray(candidate_costs(
-            st, cand, grid, cfg, MPCConfig(horizon=6, plan_integrator="env"), act))
+            st, cand, grid, cfg, MPCConfig(horizon=6, plan_model="grid", plan_integrator="env"), act))
         c_kdk = np.asarray(candidate_costs(
-            st, cand, grid, cfg, MPCConfig(horizon=6, plan_integrator="kdk"), act))
+            st, cand, grid, cfg, MPCConfig(horizon=6, plan_model="grid", plan_integrator="kdk"), act))
         assert np.isfinite(c_kdk).all()
         r_env = np.argsort(np.argsort(c_env)).astype(float)
         r_kdk = np.argsort(np.argsort(c_kdk)).astype(float)
         rho = np.corrcoef(r_env, r_kdk)[0, 1]
         assert rho > 0.95, f"rank correlation {rho}"
         np.testing.assert_allclose(c_kdk, c_env, rtol=0.05)
+
+    def test_spectral_planner_preserves_ranking(self):
+        """The gridless low-mode spectral planning model (the default,
+        MPCConfig.plan_model='spectral') ranks candidates like the full
+        grid dynamics and stays close in cost — 2.6x faster solves on TPU
+        (1021 vs 399 solves/s at the bench shapes, DEVNOTES perf map)."""
+        cfg = tiny_cfg(n_particles=4000, n_mesh=128)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (24, 6, 4))
+        c_grid = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(horizon=6, plan_model="grid", plan_integrator="kdk"), act))
+        for km in (8, 16):
+            c_spec = np.asarray(candidate_costs(
+                st, cand, grid, cfg,
+                MPCConfig(horizon=6, plan_model="spectral", plan_modes=km), act))
+            assert np.isfinite(c_spec).all()
+            r_g = np.argsort(np.argsort(c_grid)).astype(float)
+            r_s = np.argsort(np.argsort(c_spec)).astype(float)
+            rho = np.corrcoef(r_g, r_s)[0, 1]
+            assert rho > 0.95, f"Km={km} rank correlation {rho}"
+            # PE truncated to Km modes => costs close but slightly biased
+            np.testing.assert_allclose(c_spec, c_grid, rtol=0.2)
+
+    def test_spectral_streaming_matches_basis(self):
+        """The streamed mode sums / field evaluation (never materializing the
+        (Km, N) basis) equal the explicit basis-matrix forms."""
+        from plasma_control_tpu.control.mpc import (
+            _mode_basis, _mode_eval, _mode_sums,
+        )
+
+        x = jax.random.uniform(jax.random.PRNGKey(3), (777,), minval=0.0, maxval=50.0)
+        cb, sb = _mode_basis(x, 50.0, 11)
+        # basis rows are cos/sin(k_m x) exactly
+        k5 = 2.0 * np.pi / 50.0 * 5
+        np.testing.assert_allclose(np.asarray(cb[4]), np.cos(k5 * np.asarray(x)), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(sb[4]), np.sin(k5 * np.asarray(x)), atol=2e-5)
+        t = (2.0 * jnp.pi / 50.0) * x
+        c1, s1 = jnp.cos(t), jnp.sin(t)
+        c, s = _mode_sums(c1, s1, 11)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(jnp.sum(cb, axis=1)), rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(jnp.sum(sb, axis=1)), rtol=2e-4, atol=2e-3)
+        pc = jax.random.normal(jax.random.PRNGKey(4), (11,))
+        ps = jax.random.normal(jax.random.PRNGKey(5), (11,))
+        np.testing.assert_allclose(
+            np.asarray(_mode_eval(c1, s1, pc, ps)), np.asarray(pc @ cb + ps @ sb),
+            rtol=1e-4, atol=1e-4)
+
+    def test_spectral_rejects_grid_pallas_kernels(self):
+        cfg = tiny_cfg()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 3, 4))
+        with pytest.raises(ValueError, match="grid-planner"):
+            candidate_costs(
+                st, cand, grid, cfg,
+                MPCConfig(horizon=3, plan_model="spectral", plan_kernel="fused"), act)
 
     def test_fused_kdk_matches_xla_kdk(self):
         """The one-launch Pallas horizon kernel (plan_kernel='fused',
@@ -88,10 +147,10 @@ class TestPlan:
         cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (13, 5, 4))  # odd K
         c_xla = np.asarray(candidate_costs(
             st, cand, grid, cfg,
-            MPCConfig(horizon=5, plan_integrator="kdk", plan_kernel="xla"), act))
+            MPCConfig(horizon=5, plan_model="grid", plan_integrator="kdk", plan_kernel="xla"), act))
         c_fused = np.asarray(candidate_costs(
             st, cand, grid, cfg,
-            MPCConfig(horizon=5, plan_integrator="kdk", plan_kernel="fused"), act))
+            MPCConfig(horizon=5, plan_model="grid", plan_integrator="kdk", plan_kernel="fused"), act))
         np.testing.assert_allclose(c_fused, c_xla, rtol=2e-4)
 
     @pytest.mark.parametrize("n_mesh", [32, 48, 64])
@@ -106,10 +165,10 @@ class TestPlan:
         cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (13, 5, 4))  # odd K
         c_xla = np.asarray(candidate_costs(
             st, cand, grid, cfg,
-            MPCConfig(horizon=5, plan_integrator="kdk", plan_kernel="xla"), act))
+            MPCConfig(horizon=5, plan_model="grid", plan_integrator="kdk", plan_kernel="xla"), act))
         c_packed = np.asarray(candidate_costs(
             st, cand, grid, cfg,
-            MPCConfig(horizon=5, plan_integrator="kdk", plan_kernel="packed"), act))
+            MPCConfig(horizon=5, plan_model="grid", plan_integrator="kdk", plan_kernel="packed"), act))
         np.testing.assert_allclose(c_packed, c_xla, rtol=2e-4)
 
     @pytest.mark.parametrize("algo", ["mppi", "cem"])
@@ -160,7 +219,7 @@ class TestClosedLoop:
         suppresses the two-stream instability like the leapfrog planner."""
         cfg = tiny_cfg(n_particles=2000, n_mesh=64, t_max=25.0)
         mpc = MPCConfig(horizon=5, n_candidates=64, temperature=0.1, sigma0=0.3,
-                        w_input=0.01, plan_integrator="kdk")
+                        w_input=0.01, plan_model="grid", plan_integrator="kdk")
         grid = make_grid(cfg.n_mesh, cfg.length)
         act = make_actuator(cfg.length, cfg.n_mesh, 3)
         ctrl = ControlConfig(max_mode=3)
@@ -180,7 +239,7 @@ class TestClosedLoop:
         cfg = tiny_cfg(n_particles=2000, n_mesh=64, t_max=25.0)
         mpc = MPCConfig(
             horizon=5, n_candidates=64, temperature=0.1, sigma0=0.3, w_input=0.01,
-            plan_particles=1000, plan_mesh=32,
+            plan_model="grid", plan_particles=1000, plan_mesh=32,
         )
         grid = make_grid(cfg.n_mesh, cfg.length)
         act = make_actuator(cfg.length, cfg.n_mesh, 3)
