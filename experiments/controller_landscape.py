@@ -23,6 +23,9 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--actor", action="append", default=[])
+    p.add_argument("--dagger_mpc", action="store_true",
+                   help="also train + evaluate a policy distilled from the MPC "
+                        "expert (amortized MPC, control/rl/dagger.py)")
     args = p.parse_args()
 
     import jax
@@ -65,6 +68,22 @@ def main():
         [tail(mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(i)).field_energy)
          for i, st in enumerate(states)],
     ))
+
+    if args.dagger_mpc:
+        from plasma_control_tpu.control.rl.dagger import dagger_train
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig
+
+        mpc_exp = MPCConfig(horizon=8, n_candidates=64)
+        nets_d, params_d, hist = dagger_train(
+            cfg, ctrl, DDPGConfig(), grid, act, jax.random.PRNGKey(7),
+            n_iters=4, epochs_per_iter=300, mpc=mpc_exp,
+        )
+        fn_d = lambda s: nets_d.actor.sample(params_d, s[None])[0]
+        rows.append((
+            "dagger(mpc expert, 4 iters)",
+            [tail(policy_rollout(st, grid, cfg, act, fn_d, record_snapshots=False).field_energy)
+             for st in states],
+        ))
 
     if args.actor:
         from plasma_control_tpu.control.rl.ddpg import DDPGConfig, make_ddpg

@@ -1,20 +1,31 @@
 """Sampler-quality study: suppression (tail field energy) by candidate-noise
 parameterization at equal n_candidates — white vs AR(1)-colored vs knot-
-interpolated (MPCConfig.n_knots / control/mpc.knot_noise).
+interpolated (MPCConfig.n_knots / control/mpc.knot_noise) vs antithetic
+mirrored pairs (MPCConfig.antithetic).
 
 Result (4 seeds, two-stream N=1000/M=32, K=64, H=8, max_mode=3, t_max=15,
-CPU run 2026-08-18 — rollout math is platform-identical):
+CPU run 2026-08-18, GRID planner — rollout math is platform-identical):
 
     white   [58.1, 56.4, 63.4, 68.0]  mean 61.5
-    knots3  [38.1, 18.3, 30.4, 24.8]  mean 27.9   <- 2.2x better, now default
+    knots3  [38.1, 18.3, 30.4, 24.8]  mean 27.9   <- 2.2x better than white
     knots5  [46.6, 25.0, 26.5, 39.8]  mean 34.5
     ar08    [44.2, 19.7, 29.5, 25.9]  mean 29.8
+
+Antithetic round (TPU run 2026-08-19, SPECTRAL planner — the new default):
+
+    4 seeds:  white 62.2 | white+anti 41.7 | knots3 33.8 | knots3+anti 24.8
+    8 seeds:  knots3       mean 33.3  median 31.0
+              knots3+anti  mean 25.1  median 23.6   <- now the default
+              ar08         mean 25.0  median 24.9
+              ar08+anti    mean 27.6  median 28.9
 
 Interpretation: the optimal external field varies on the plasma-frequency
 scale (~10 dt), so per-step white perturbations waste most of the K budget on
 physically implausible high-frequency control; 3 knots over an 8-step horizon
-concentrate the search on the slow manifold. Rollout cost is unchanged —
-sampling is O(K*H*D) either way.
+concentrate the search on the slow manifold. Mirroring each perturbation
+(eps, -eps) cancels the odd terms of the local cost expansion within a pair,
+another ~25% on top of knots at zero extra rollout cost. AR(1) beta=0.8 ties
+knots3+anti but mirroring does not stack on it.
 
 Run: python /root/repo/experiments/sampler_quality.py
 """
@@ -46,6 +57,8 @@ if __name__ == "__main__":
         ("knots3", {"n_knots": 3}),
         ("knots5", {"n_knots": 5}),
         ("ar08", {"n_knots": None, "smooth_noise": 0.8}),
+        ("white+anti", {"n_knots": None, "antithetic": True}),
+        ("knots3+anti", {"n_knots": 3, "antithetic": True}),
     ]
     for label, kw in variants:
         mpc = MPCConfig(horizon=8, n_candidates=64, **kw)

@@ -579,8 +579,8 @@ def plan(
         _, out = jax.lax.scan(ar, eps_t[0], eps_t[1:])
         return jnp.moveaxis(jnp.concatenate([eps_t[:1], out]), 0, 1)
 
-    def draw(k):
-        """Candidate perturbations: AR(1)-colored, knot-interpolated, or white.
+    def _base_noise(k, n):
+        """Unit-variance perturbations: AR(1)-colored, knot-interpolated, or white.
 
         An explicit ``smooth_noise > 0`` wins over the knot default: the AR(1)
         option is only ever set deliberately (its default is 0), whereas
@@ -588,8 +588,19 @@ def plan(
         setting avoids silently ignoring it. ``n_knots`` falsy (None/0) or
         >= horizon falls back to white noise."""
         if mpc.smooth_noise <= 0.0 and mpc.n_knots and 1 <= mpc.n_knots < h:
-            return knot_noise(k, mpc.n_candidates, h, d, mpc.n_knots, mean.dtype)
-        return _colored(jax.random.normal(k, (mpc.n_candidates, h, d), dtype=mean.dtype))
+            return knot_noise(k, n, h, d, mpc.n_knots, mean.dtype)
+        return _colored(jax.random.normal(k, (n, h, d), dtype=mean.dtype))
+
+    def draw(k):
+        if mpc.antithetic and mpc.n_candidates >= 2:
+            # mirrored pairs (eps, -eps): first-order terms of the local cost
+            # expansion cancel within a pair, so the MPPI/CEM update sees the
+            # curvature instead of sampling noise — better suppression at
+            # equal K (classic antithetic variates; experiments/
+            # sampler_quality.py measures the gain)
+            eps = _base_noise(k, (mpc.n_candidates + 1) // 2)
+            return jnp.concatenate([eps, -eps], axis=0)[: mpc.n_candidates]
+        return _base_noise(k, mpc.n_candidates)
 
     def sample(k):
         cand = mean[None] + sigma * draw(k)

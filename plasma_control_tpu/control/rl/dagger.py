@@ -1,12 +1,18 @@
-"""DAgger behavior cloning of the phase-conjugate feedback expert.
+"""DAgger behavior cloning of the feedback or MPC expert.
 
 A TPU-native addition that fixes the covariate-shift failure of the
 reference's one-shot behavior cloning (`ddpg.py:364-405`, see DEVNOTES):
-because the expert here is a *formula* (the FFT phase-conjugate law,
-`run_feedback.py:130-143`), it can relabel every state the learner visits at
-negligible cost. Each DAgger iteration rolls the current policy closed-loop
-through the PIC dynamics (one compiled scan), records the expert action at
-every visited state, aggregates, and refits the actor on the whole dataset.
+because the experts here are *solvers* — the FFT phase-conjugate law
+(`run_feedback.py:130-143`) or the sampling-MPC planner
+(:func:`plasma_control_tpu.control.mpc.plan`) — they can relabel every state
+the learner visits, on-device, inside the rollout scan. Each DAgger iteration
+rolls the current policy closed-loop through the PIC dynamics (one compiled
+scan), records the expert action at every visited state, aggregates, and
+refits the actor on the whole dataset.
+
+With ``expert="mpc"`` this is **amortized MPC**: the actor distills the
+planner (which beats the feedback law ~2.5x on tail field energy, DEVNOTES
+controller landscape) into a single forward pass per control step.
 """
 
 from __future__ import annotations
@@ -18,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ...config import ControlConfig, SimConfig
+from ...config import ControlConfig, MPCConfig, SimConfig
 from ...models.pic import PlasmaState, init_state, step
 from ...ops.grid import Grid
 from ..actuator import FourierActuator
@@ -28,7 +34,7 @@ from .ddpg import DDPGConfig, _Nets, _expert_action, make_ddpg
 __all__ = ["collect_policy_rollout", "fit_bc", "dagger_train"]
 
 
-@partial(jax.jit, static_argnames=("nets", "cfg", "ctrl", "n_steps"))
+@partial(jax.jit, static_argnames=("nets", "cfg", "ctrl", "n_steps", "mpc"))
 def collect_policy_rollout(
     nets: _Nets,
     actor_params,
@@ -38,22 +44,50 @@ def collect_policy_rollout(
     cfg: SimConfig,
     ctrl: ControlConfig,
     n_steps: int,
+    mpc: Optional[MPCConfig] = None,
+    key: Optional[jax.Array] = None,
 ):
     """Roll the current policy; return (states (T, 2N), expert actions (T, A),
-    field energy (T,))."""
+    field energy (T,)).
+
+    ``mpc=None`` relabels with the phase-conjugate feedback law; an
+    ``MPCConfig`` relabels with a full MPC solve at every visited state
+    (warm-started along the learner's own trajectory, as a receding-horizon
+    controller would be)."""
     actor = nets.actor
+    from ...models.rollout import _energies
 
-    def body(carry: PlasmaState, _):
-        s_packed = jnp.concatenate([carry.x, carry.v])
-        a_exp = _expert_action(carry.x, grid, cfg, ctrl.max_mode)
+    if mpc is None:
+        def body(carry: PlasmaState, _):
+            s_packed = jnp.concatenate([carry.x, carry.v])
+            a_exp = _expert_action(carry.x, grid, cfg, ctrl.max_mode)
+            a = actor.sample(actor_params, s_packed[None])[0]
+            new = step(carry, grid, cfg, actuator.compute_e_packed(a))
+            pe, _ = _energies(new, grid, cfg)
+            return new, (s_packed, a_exp, pe)
+
+        _, (states, experts, pes) = jax.lax.scan(body, state0, None, length=n_steps)
+        return states, experts, pes
+
+    from ..mpc import plan
+
+    if key is None:
+        raise ValueError("expert='mpc' relabeling needs a PRNG key")
+    sigma = jnp.asarray(mpc.sigma0, state0.x.dtype)
+    mean0 = jnp.zeros((mpc.horizon, 2 * ctrl.max_mode), dtype=state0.x.dtype)
+
+    def body_mpc(carry, k):
+        st, mean = carry
+        s_packed = jnp.concatenate([st.x, st.v])
+        a_exp, new_mean, _ = plan(st, mean, sigma, k, grid, cfg, ctrl, mpc, actuator)
         a = actor.sample(actor_params, s_packed[None])[0]
-        new = step(carry, grid, cfg, actuator.compute_e_packed(a))
-        from ...models.rollout import _energies
-
+        new = step(st, grid, cfg, actuator.compute_e_packed(a))
         pe, _ = _energies(new, grid, cfg)
-        return new, (s_packed, a_exp, pe)
+        shifted = jnp.concatenate([new_mean[1:], new_mean[-1:]])
+        return (new, shifted), (s_packed, a_exp, pe)
 
-    _, (states, experts, pes) = jax.lax.scan(body, state0, None, length=n_steps)
+    keys = jax.random.split(key, n_steps)
+    _, (states, experts, pes) = jax.lax.scan(body_mpc, (state0, mean0), keys)
     return states, experts, pes
 
 
@@ -96,11 +130,15 @@ def dagger_train(
     n_iters: int = 5,
     epochs_per_iter: int = 300,
     verbose: bool = True,
+    mpc: Optional[MPCConfig] = None,
 ):
     """DAgger loop. Returns (nets, actor_params, history).
 
     history['pe_tail'][i] is the closed-loop tail field energy of the policy
-    at iteration i — should approach the feedback expert's.
+    at iteration i — should approach the expert's. ``mpc=None`` clones the
+    phase-conjugate feedback law; an ``MPCConfig`` clones the sampling-MPC
+    planner (amortized MPC — the planner beats the feedback law ~2.5x on
+    suppression, so the distilled policy's ceiling is much higher).
     """
     k_net, k_env, key = jax.random.split(key, 3)
     nets, ts = make_ddpg(cfg, ctrl, hp, k_net)
@@ -109,18 +147,33 @@ def dagger_train(
 
     # iteration 0 dataset: the expert's own trajectory
     state0 = init_state(cfg, k_env)
-    fb = feedback_rollout(state0, grid, cfg, ctrl, actuator, record_snapshots=True, n_steps=n_steps)
-    states = jnp.concatenate([fb.xs[:-1], fb.vs[:-1]], axis=1)
-    actions = jnp.concatenate([fb.coeff_cos, fb.coeff_sin], axis=1)
+    if mpc is None:
+        fb = feedback_rollout(state0, grid, cfg, ctrl, actuator, record_snapshots=True, n_steps=n_steps)
+        states = jnp.concatenate([fb.xs[:-1], fb.vs[:-1]], axis=1)
+        actions = jnp.concatenate([fb.coeff_cos, fb.coeff_sin], axis=1)
+    else:
+        from ...models.rollout import rollout as _env_rollout
+        from ..mpc import mpc_rollout
+
+        key, k_mpc = jax.random.split(key)
+        out = mpc_rollout(state0, grid, cfg, ctrl, mpc, actuator, k_mpc, n_steps=n_steps)
+        replay = _env_rollout(
+            state0, grid, cfg,
+            e_external_traj=actuator.compute_e_packed(out.coeffs),
+            record_snapshots=True, n_steps=n_steps,
+        )
+        states = jnp.concatenate([replay.xs[:-1], replay.vs[:-1]], axis=1)
+        actions = out.coeffs
 
     history = {"bc_loss": [], "pe_tail": []}
     for it in range(n_iters):
-        key, k_fit, k_env2 = jax.random.split(key, 3)
+        key, k_fit, k_env2, k_plan = jax.random.split(key, 4)
         params, opt, loss = fit_bc(nets, params, opt, states, actions, k_fit, hp, epochs_per_iter)
 
         roll_state = init_state(cfg, k_env2)
         s_new, a_new, pes = collect_policy_rollout(
-            nets, params, roll_state, grid, actuator, cfg, ctrl, n_steps
+            nets, params, roll_state, grid, actuator, cfg, ctrl, n_steps,
+            mpc=mpc, key=k_plan,
         )
         states = jnp.concatenate([states, s_new])
         actions = jnp.concatenate([actions, a_new])

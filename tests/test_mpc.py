@@ -347,3 +347,33 @@ class TestKnotNoise:
         un = rollout(st, grid, cfg)
         assert np.isfinite(np.asarray(out.field_energy)).all()
         assert float(jnp.mean(out.field_energy[-20:])) < float(jnp.mean(un.field_energy[-20:]))
+
+
+class TestAntithetic:
+    def test_antithetic_plan_runs_and_suppresses(self):
+        """MPC with mirrored-pair candidate sampling (MPCConfig.antithetic)
+        runs, is deterministic in the key, and still suppresses (the quality
+        comparison at equal K is seed-sensitive and lives in
+        experiments/sampler_quality.py)."""
+        cfg = tiny_cfg(t_max=8.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+
+        mpc = MPCConfig(horizon=8, n_candidates=32, antithetic=True)
+        out = mpc_rollout(st, grid, cfg, CTRL, mpc, act, jax.random.PRNGKey(1))
+        out2 = mpc_rollout(st, grid, cfg, CTRL, mpc, act, jax.random.PRNGKey(1))
+        un = rollout(st, grid, cfg)
+        assert np.isfinite(np.asarray(out.field_energy)).all()
+        np.testing.assert_array_equal(np.asarray(out.coeffs), np.asarray(out2.coeffs))
+        assert float(jnp.mean(out.field_energy[-20:])) < float(jnp.mean(un.field_energy[-20:]))
+
+    def test_antithetic_odd_candidate_count(self):
+        """Odd K keeps exactly K candidates (the mirrored block is trimmed)."""
+        cfg = tiny_cfg(t_max=2.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        mpc = MPCConfig(horizon=3, n_candidates=7, antithetic=True)
+        out = mpc_rollout(st, grid, cfg, CTRL, mpc, act, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out.field_energy)).all()

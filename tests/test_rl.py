@@ -299,3 +299,22 @@ class TestDAgger:
         s = jax.random.normal(jax.random.PRNGKey(1), (3, 2 * cfg.n_particles))
         a = nets.actor.sample(params, s)
         assert np.isfinite(np.asarray(a)).all()
+
+    def test_dagger_mpc_expert_runs(self):
+        """DAgger with the MPC planner as the expert (amortized MPC): the
+        relabeling MPC solve runs inside the rollout scan, warm-started along
+        the learner's trajectory."""
+        from plasma_control_tpu.config import MPCConfig
+        from plasma_control_tpu.control.rl.dagger import dagger_train
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig
+
+        cfg, ctrl, grid, act = tiny()
+        hp = DDPGConfig(mlp_dim=16)
+        mpc = MPCConfig(horizon=3, n_candidates=8)
+        nets, params, hist = dagger_train(
+            cfg, ctrl, hp, grid, act, jax.random.PRNGKey(0),
+            n_iters=2, epochs_per_iter=20, verbose=False, mpc=mpc,
+        )
+        assert len(hist["pe_tail"]) == 2
+        assert np.isfinite(hist["bc_loss"]).all()
+        assert np.isfinite(hist["pe_tail"]).all()
