@@ -97,6 +97,13 @@ def add_mpc_args(p: argparse.ArgumentParser):
     p.add_argument("--plan_modes", type=int, default=16,
                    help="Fourier modes kept by the spectral planning model "
                         "(at least max_mode is always used)")
+    p.add_argument("--w_terminal", type=float, default=0.0,
+                   help="terminal tail-cost weight on the final-step planning "
+                        "field energy (value-function tail estimate; lets "
+                        "shorter horizons rank like long ones down to H~5-6 — "
+                        "experiments/horizon_study.py). 0 = off")
+    p.add_argument("--no_antithetic", action="store_true",
+                   help="disable mirrored-pair (antithetic) candidate sampling")
     return p
 
 
@@ -149,6 +156,8 @@ def build_mpc_config(args: dict) -> MPCConfig:
         plan_kernel=args.get("plan_kernel", "auto"),
         plan_model=args.get("plan_model", "spectral"),
         plan_modes=args.get("plan_modes", 16),
+        w_terminal=args.get("w_terminal", 0.0),
+        antithetic=not args.get("no_antithetic", False),
     )
 
 

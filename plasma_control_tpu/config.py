@@ -182,6 +182,16 @@ class MPCConfig:
     # Number of Fourier modes kept by the spectral planning model (at least
     # max_mode is always used so the actuator's modes are inside the model).
     plan_modes: int = 16
+    # Terminal tail cost: add w_terminal * PE_H (the planning-model field
+    # energy after the LAST horizon step) to every candidate's cost. This is
+    # a value-function tail estimate: the running cost sums H steps of field
+    # energy, and near the instability the post-horizon tail is dominated by
+    # how much field energy the candidate leaves behind, which PE_H measures
+    # directly (the effective tail value of a state whose PE decays/persists
+    # over ~w_terminal more steps). It lets SHORT horizons rank candidates
+    # like long ones — quality-vs-horizon measurements live in
+    # experiments/horizon_study.py. 0 disables (pure running cost).
+    w_terminal: float = 0.0
     # Antithetic variates: sample K/2 perturbations and mirror them
     # (eps, -eps). Within a pair the odd terms of the local cost expansion
     # cancel, so elite selection / MPPI weighting responds to curvature

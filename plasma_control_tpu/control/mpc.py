@@ -280,12 +280,15 @@ def _horizon_cost_kdk(
         vh2 = vh + 0.5 * dt * kick(2.0)
         pe = electric_energy(e2, grid, cfg.n_particles)
         c = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
-        return (x2, vh2), c
+        return (x2, vh2), (c, pe)
 
     _, kick0 = fields_and_kick(state.x, e_ext_seq[0])
     vh0 = state.v + 0.5 * dt * kick0(1.0)
-    _, costs = jax.lax.scan(body, (state.x, vh0), (e_pair_seq, coeff_seq))
-    return _finite_or_huge(jnp.sum(costs))
+    _, (costs, pes) = jax.lax.scan(body, (state.x, vh0), (e_pair_seq, coeff_seq))
+    total = jnp.sum(costs)
+    if mpc.w_terminal:
+        total = total + mpc.w_terminal * pes[-1]
+    return _finite_or_huge(total)
 
 
 def _mode_basis(x: jax.Array, length: float, n_modes: int):
@@ -418,7 +421,7 @@ def _horizon_cost_spectral(
         vh2 = vh + 0.5 * dt * accel
         pe = pe_scale * jnp.sum((c * c + s * s) * inv_k2, axis=-1)
         cost = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
-        return (x2, vh2), cost
+        return (x2, vh2), (cost, pe)
 
     # initial (un-merged) half-kick at the current positions
     t0 = two_pi_over_l * state.x
@@ -427,8 +430,11 @@ def _horizon_cost_spectral(
     pc0 = g * s0 + u_c[0]
     ps0 = -(g * c0) + u_s[0]
     vh0 = state.v + 0.5 * dt * (-_mode_eval(c1_0, s1_0, pc0, ps0))
-    _, costs = jax.lax.scan(body, (state.x, vh0), (pair_c, pair_s, coeff_seq))
-    return _finite_or_huge(jnp.sum(costs))
+    _, (costs, pes) = jax.lax.scan(body, (state.x, vh0), (pair_c, pair_s, coeff_seq))
+    total = jnp.sum(costs)
+    if mpc.w_terminal:
+        total = total + mpc.w_terminal * pes[-1]
+    return _finite_or_huge(total)
 
 
 def _horizon_cost(
@@ -452,10 +458,13 @@ def _horizon_cost(
             mpc.plan_integrator, mpc.plan_kernel,
         )
         c = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
-        return new, c
+        return new, (c, pe)
 
-    _, costs = jax.lax.scan(body, state, coeff_seq)
-    return _finite_or_huge(jnp.sum(costs))
+    _, (costs, pes) = jax.lax.scan(body, state, coeff_seq)
+    total = jnp.sum(costs)
+    if mpc.w_terminal:
+        total = total + mpc.w_terminal * pes[-1]
+    return _finite_or_huge(total)
 
 
 def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
@@ -485,6 +494,8 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
         pe = pe * (cfg.n_particles / cfg.length)  # electric_energy rescale
         ie = actuator.input_energy(coeff_seqs)  # (K, H)
         total = jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1)
+        if mpc.w_terminal:
+            total = total + mpc.w_terminal * pe[:, -1]
         return _finite_or_huge(total)
     return jax.vmap(lambda u: _horizon_cost(state, u, grid, cfg, mpc, actuator))(coeff_seqs)
 
@@ -501,10 +512,13 @@ def _gradient_refine(state, mean, grid, cfg, ctrl, mpc, actuator):
             e_ext = actuator.compute_e_packed(ut)
             new = jax.checkpoint(lambda s, e: step(s, grid, cfg, e))(carry, e_ext)
             pe, _ = _energies(new, grid, cfg)
-            return new, mpc.w_field * pe + mpc.w_input * actuator.input_energy(ut)
+            return new, (mpc.w_field * pe + mpc.w_input * actuator.input_energy(ut), pe)
 
-        _, costs = jax.lax.scan(body, state, u)
-        return jnp.sum(costs)
+        _, (costs, pes) = jax.lax.scan(body, state, u)
+        total = jnp.sum(costs)
+        if mpc.w_terminal:
+            total = total + mpc.w_terminal * pes[-1]
+        return total
 
     import optax
 

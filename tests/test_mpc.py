@@ -377,3 +377,48 @@ class TestAntithetic:
         mpc = MPCConfig(horizon=3, n_candidates=7, antithetic=True)
         out = mpc_rollout(st, grid, cfg, CTRL, mpc, act, jax.random.PRNGKey(1))
         assert np.isfinite(np.asarray(out.field_energy)).all()
+
+
+class TestTerminalCost:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(plan_model="spectral"),
+            dict(plan_model="grid", plan_integrator="kdk"),
+            dict(plan_model="grid", plan_integrator="leapfrog"),
+            dict(plan_model="grid", plan_integrator="env"),
+            dict(plan_model="grid", plan_integrator="kdk", plan_kernel="fused"),
+        ],
+        ids=["spectral", "kdk", "leapfrog", "env", "fused"],
+    )
+    def test_terminal_cost_linear_in_weight(self, kw):
+        """cost(w_terminal) = cost(0) + w_terminal * PE_H on every planner
+        path: check linearity, and that the added term is the positive final
+        planning-model field energy."""
+        cfg = tiny_cfg()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4))
+
+        def costs(w):
+            mpc = MPCConfig(horizon=4, n_candidates=8, w_terminal=w, **kw)
+            return np.asarray(candidate_costs(st, cand, grid, cfg, mpc, act))
+
+        c0, c1, c3 = costs(0.0), costs(1.0), costs(3.0)
+        pe_h = c1 - c0
+        assert (pe_h > 0).all()  # field energy is positive
+        np.testing.assert_allclose(c3 - c0, 3.0 * pe_h, rtol=2e-4, atol=1e-6)
+
+    def test_terminal_cost_closed_loop_suppresses(self):
+        """Short horizon + terminal tail cost still suppresses the
+        instability (quality-vs-horizon study: experiments/horizon_study.py)."""
+        cfg = tiny_cfg(t_max=8.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        mpc = MPCConfig(horizon=4, n_candidates=32, w_terminal=6.0)
+        out = mpc_rollout(st, grid, cfg, CTRL, mpc, act, jax.random.PRNGKey(1))
+        un = rollout(st, grid, cfg)
+        assert np.isfinite(np.asarray(out.field_energy)).all()
+        assert float(jnp.mean(out.field_energy[-20:])) < float(jnp.mean(un.field_energy[-20:]))
