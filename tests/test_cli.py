@@ -62,6 +62,16 @@ class TestRunScripts:
         )
         check_artifacts(tmp_path, "mpc-control")
 
+    def test_run_mpc_terminal_cost_flags(self, tmp_path):
+        """--w_terminal / --no_antithetic reach MPCConfig and still produce
+        the full artifact set."""
+        run_script(
+            tmp_path, "run_mpc.py",
+            ["--max_mode", "2", "--n_candidates", "16", "--horizon", "4",
+             "--w_terminal", "4.0", "--no_antithetic"],
+        )
+        check_artifacts(tmp_path, "mpc-control")
+
     def test_run_ddpg_train_and_eval(self, tmp_path):
         run_script(
             tmp_path, "run_ddpg.py",
