@@ -2,20 +2,29 @@
 
 Headline: full-horizon MPC solves/s on one chip (BASELINE.json config 3:
 bump-on-tail, 4 Fourier control modes, 512 sampled rollouts per solve,
-horizon 10, reference default workload N=5000 particles / 250 cells).
-The solve uses the framework's default planner (MPCConfig: gridless
-spectral candidate dynamics, plan_modes=16, knot-sampled candidates) —
-closed-loop suppression quality vs the grid planner is equal within seed
-noise (tests/test_mpc.py, DEVNOTES controller landscape), so this is the
-same control work, not a cheaper problem.
+reference default workload N=5000 particles / 250 cells). The solve is the
+framework's QUALITY-VALIDATED default for this case: gridless spectral
+candidate dynamics at FULL particle fidelity, plan_modes=8, horizon 8,
+knot-sampled antithetic candidates. Quality gates (closed-loop, bench
+scale, seed-paired — experiments/bench_fidelity_study.py +
+bot_bench_scale_debug.py, DEVNOTES 2026-08-19): this config suppresses
+bump-on-tail tail PE to ~11-14 vs ~20-27 uncontrolled (best measured) and
+two-stream 1000+ -> 21-34, matching H=10/Km=16 within noise. Earlier
+rounds benched a particle-subsampled planning model (plan 1024 of 5000,
+~2x faster, "1021 solves/s") — measurably harmful on this workload (the
+planner cancels subsample noise that doesn't exist in the real plasma and
+pumps tail PE to ~270); that configuration remains valid only for
+strong-signal regimes and is reported as
+``mpc_solves_per_s_reduced_fidelity`` in BENCH_DETAILS.json, not as the
+headline.
 
 ``vs_baseline`` compares against a compiled CPU implementation of the same
 K x H solve with the reference's exact kernel semantics (native/pic_ref.cpp:
-Thomas + Sherman-Morrison Poisson solve, CIC, Yoshida-4) at the same planning
-shapes, measured in-process — the reference itself publishes no numbers
-(BASELINE.md) and its hot kernels are Numba/LLVM-compiled, so -O3 C++ is the
-honest single-core apples-to-apples baseline (a NumPy fallback is used if no
-toolchain is available).
+Thomas + Sherman-Morrison Poisson solve, CIC, Yoshida-4) at the same
+(full-fidelity) shapes, measured in-process — the reference itself publishes
+no numbers (BASELINE.md) and its hot kernels are Numba/LLVM-compiled, so
+-O3 C++ is the honest single-core apples-to-apples baseline (a NumPy
+fallback is used if no toolchain is available).
 
 Details (push-throughput sub-benchmark, timings) go to BENCH_DETAILS.json.
 """
@@ -118,10 +127,12 @@ def main():
         simcase="bump-on-tail", n_particles=5000, n_mesh=250, dt=0.1, t_max=50.0, length=50.0
     )
     ctrl = ControlConfig(max_mode=4)
-    # Multi-fidelity planning (candidate rollouts on a reduced model; the
-    # applied env step stays full fidelity). The NumPy baseline below is
-    # measured at the SAME planning shapes so vs_baseline compares equal work.
-    mpc = MPCConfig(horizon=10, n_candidates=512, plan_particles=1024, plan_mesh=64)
+    # Full-fidelity planning (candidate rollouts over all N particles):
+    # particle subsampling is measurably harmful on this quiet workload (see
+    # module docstring / DEVNOTES). H=8 and plan_modes=8 are quality-equal
+    # to H=10/Km=16 (seed-paired gates). The CPU baseline below is measured
+    # at the SAME full shapes so vs_baseline compares equal work.
+    mpc = MPCConfig(horizon=8, n_candidates=512, plan_modes=8)
     grid = make_grid(cfg.n_mesh, cfg.length)
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     state = init_state(cfg, jax.random.PRNGKey(0))
@@ -139,42 +150,55 @@ def main():
     # (DEVNOTES: measurement methodology).
     r1, r2 = 2, 52
 
-    def solve_chain(reps):
-        @jax.jit
-        def run(st, mn, key):
-            def body(carry, k):
-                mn_c, _ = carry
-                action, new_mean, best = plan(st, mn_c, sigma, k, grid, cfg, ctrl, mpc, act)
-                return (new_mean, best), best
+    def measure(mpc_cfg, mean_h):
+        def solve_chain(reps):
+            @jax.jit
+            def run(st, mn, key):
+                def body(carry, k):
+                    mn_c, _ = carry
+                    action, new_mean, best = plan(
+                        st, mn_c, sigma, k, grid, cfg, ctrl, mpc_cfg, act)
+                    return (new_mean, best), best
 
-            (_, best), bests = jax.lax.scan(
-                body, (mn, jnp.asarray(0.0, jnp.float32)), jax.random.split(key, reps))
-            return bests
+                (_, best), bests = jax.lax.scan(
+                    body, (mn, jnp.asarray(0.0, jnp.float32)), jax.random.split(key, reps))
+                return bests
 
-        return run
+            return run
 
-    f1, f2 = solve_chain(r1), solve_chain(r2)
-    t0 = time.perf_counter()
-    np.asarray(f1(state, mean, jax.random.PRNGKey(1)))
-    np.asarray(f2(state, mean, jax.random.PRNGKey(2)))
-    details["mpc_compile_s"] = time.perf_counter() - t0
-
-    slopes = []
-    wall = []
-    for i in range(3):
+        f1, f2 = solve_chain(r1), solve_chain(r2)
         t0 = time.perf_counter()
-        np.asarray(f1(state, mean, jax.random.PRNGKey(10 + 2 * i)))
-        ta = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(f2(state, mean, jax.random.PRNGKey(11 + 2 * i)))
-        tb = time.perf_counter() - t0
-        slopes.append((tb - ta) / (r2 - r1))
-        wall.append(tb)
-    sec = float(np.median(slopes))
-    solves_per_s = 1.0 / sec
+        np.asarray(f1(state, mean_h, jax.random.PRNGKey(1)))
+        np.asarray(f2(state, mean_h, jax.random.PRNGKey(2)))
+        compile_s = time.perf_counter() - t0
+
+        slopes, wall = [], []
+        for i in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f1(state, mean_h, jax.random.PRNGKey(10 + 2 * i)))
+            ta = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(f2(state, mean_h, jax.random.PRNGKey(11 + 2 * i)))
+            tb = time.perf_counter() - t0
+            slopes.append((tb - ta) / (r2 - r1))
+            wall.append(tb)
+        return 1.0 / float(np.median(slopes)), slopes, wall, compile_s
+
+    solves_per_s, slopes, wall, compile_s = measure(mpc, mean)
+    details["mpc_compile_s"] = compile_s
     details["mpc_solves_per_s"] = solves_per_s
     details["mpc_ms_per_solve_all"] = [round(1e3 * s, 3) for s in slopes]
     details["mpc_wall_chain52_s"] = round(float(np.median(wall)), 3)
+
+    # Secondary: the particle-subsampled planning configuration (plan 1024 of
+    # 5000, Km=16, H=10) — valid ONLY for strong-signal regimes (e.g. a
+    # growing two-stream); measurably harmful on this quiet bump-on-tail
+    # workload (module docstring). Recorded for the scaling story, not the
+    # headline.
+    mpc_rf = MPCConfig(horizon=10, n_candidates=512, plan_particles=1024, plan_mesh=64)
+    mean_rf = jnp.zeros((mpc_rf.horizon, ctrl.n_actions), dtype=jnp.float32)
+    rf_rate, _, _, _ = measure(mpc_rf, mean_rf)
+    details["mpc_solves_per_s_reduced_fidelity"] = rf_rate
 
     # ---------------- sub-benchmark: particle-push steps/s ----------------
     cfg1 = SimConfig(simcase="two-stream", n_particles=10000, n_mesh=64, dt=0.1, t_max=50.0)

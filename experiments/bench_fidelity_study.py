@@ -13,7 +13,24 @@ fidelity knob may only move if the seed-paired tail PE stays within noise
 of the current default on BOTH sim cases.
 
 Run: python /root/repo/experiments/bench_fidelity_study.py [n_seeds]
-Measured results are recorded in DEVNOTES.md.
+
+Result (4 paired seeds, TPU v5e 2026-08-19, tail PE = mean over last 100
+steps; all variants here plan on a 1024-particle subsample, base = the
+pre-round bench config):
+
+    bump-on-tail uncontrolled            mean 33.4
+    bump-on-tail H10.Km16.N1024 (base)   mean 270.0   <- CONTROL PUMPS 8x
+    bump-on-tail H8/Km8/N512 variants    mean 219-414 (all pumping)
+    two-stream   uncontrolled            mean 1074.5
+    two-stream   H10.Km16.N1024 (base)   mean 188.9   (5.7x suppression)
+    two-stream   H8 variants             mean 198-231 (H8 ~= H10)
+
+This run exposed the multi-fidelity planning hazard (subsample noise
+cancellation — see DEVNOTES 2026-08-19 and
+experiments/bot_bench_scale_debug.py, which confirms full-fidelity planning
+suppresses bump-on-tail to ~11-23 at the same states and that the bench
+config H8/Km8/fullN is quality-equal on two-stream). bench.py moved to
+full-fidelity planning as a consequence.
 """
 
 import os

@@ -98,6 +98,17 @@ class MPCConfig:
     # environment step always uses the full model, and replanning every step
     # closes the loop over model error — standard hierarchical MPC. None =
     # plan at full fidelity.
+    #
+    # HAZARD: particle subsampling injects unscreened sampling noise into the
+    # plan model's low modes (n0^2 (1-n/N) / (2 k^2) per mode). When the
+    # coherent field is not well above that floor — e.g. bump-on-tail near
+    # saturation — the planner profits in-model by cancelling the subsample's
+    # noise phases and the applied drive PUMPS the real plasma (measured:
+    # tail PE 270 vs 33 uncontrolled at BASELINE config-3 scale; full
+    # fidelity suppresses to ~20 — experiments/bot_bench_scale_debug.py,
+    # DEVNOTES 2026-08-19). Use control.mpc.plan_fidelity_check before
+    # reducing; run_mpc warns automatically. Strong-signal regimes (growing
+    # two-stream, coherent field >> floor) remain safe and ~N_plan/N faster.
     plan_particles: Optional[int] = None
     plan_mesh: Optional[int] = None
     # Cost fidelity: True (default) recomputes the field at the exact

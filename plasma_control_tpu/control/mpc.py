@@ -32,7 +32,14 @@ from ..models.rollout import _energies
 from ..ops.grid import Grid
 from .actuator import FourierActuator
 
-__all__ = ["MPCOutput", "candidate_costs", "knot_noise", "plan", "mpc_rollout"]
+__all__ = [
+    "MPCOutput",
+    "candidate_costs",
+    "knot_noise",
+    "plan",
+    "plan_fidelity_check",
+    "mpc_rollout",
+]
 
 
 def _plan_model(state: PlasmaState, grid: Grid, cfg: SimConfig, mpc: MPCConfig):
@@ -54,6 +61,53 @@ def _plan_model(state: PlasmaState, grid: Grid, cfg: SimConfig, mpc: MPCConfig):
         plan_cfg = dataclasses.replace(plan_cfg, n_mesh=mpc.plan_mesh)
         plan_grid = _grid_cache(mpc.plan_mesh, cfg.length, state.x.dtype)
     return plan_state, plan_grid, plan_cfg
+
+
+def plan_fidelity_check(
+    state: PlasmaState, cfg: SimConfig, ctrl: ControlConfig, mpc: MPCConfig
+) -> dict:
+    """Is subsampled planning (``mpc.plan_particles < N``) safe at this state?
+
+    Subsampling n of N particles injects *unscreened* sampling noise into the
+    planning model's low Fourier modes: per mode, added energy
+    ``n0^2 (1 - n/N) / (2 k_m^2)`` in field-energy units (hypergeometric
+    variance of the subsampled mode sums), while the real plasma's low-mode
+    noise is Debye-screened far below that. When the coherent signal the
+    controller should act on is not well above this injected floor, the
+    planner "profits" in-model by cancelling the subsample's noise phases —
+    which do not exist in the real plasma — and the applied drive pumps the
+    real field instead of damping it. Measured (2026-08-19, bench scale
+    bump-on-tail N=5000, plan 1024): tail PE 270 controlled vs 33
+    uncontrolled; full-fidelity planning at the same state suppresses to ~20
+    (experiments/bot_bench_scale_debug.py, DEVNOTES). Two-stream is immune
+    in practice because its coherent field (~1000) dwarfs the floor.
+
+    Returns {"coherent_pe", "injected_noise_pe", "ratio", "safe"}; ``safe``
+    means coherent >= 3x injected. Cheap (one pass over the full state);
+    called by run_mpc at t=0 when a particle reduction is requested.
+    """
+    import numpy as np
+
+    n = cfg.n_particles
+    n_plan = mpc.plan_particles or n
+    km = max(int(mpc.plan_modes), ctrl.max_mode)
+    k = (2.0 * np.pi / cfg.length) * np.arange(1, km + 1)
+    t = (2.0 * np.pi / cfg.length) * np.asarray(jnp.ravel(state.x))
+    c = np.stack([np.sum(np.cos(m * t)) for m in range(1, km + 1)])
+    s = np.stack([np.sum(np.sin(m * t)) for m in range(1, km + 1)])
+    # full-state modal field energy minus its own Poisson floor = coherent part
+    modal = (cfg.n0**2 / n) * (c * c + s * s) / (k * k)
+    floor_full = cfg.n0**2 / 2.0 / (k * k)
+    coherent = float(np.sum(np.maximum(modal - floor_full, 0.0)))
+    frac = min(n_plan / n, 1.0)
+    injected = float(np.sum(cfg.n0**2 * (1.0 - frac) / 2.0 / (k * k)))
+    ratio = coherent / injected if injected > 0 else float("inf")
+    return {
+        "coherent_pe": coherent,
+        "injected_noise_pe": injected,
+        "ratio": ratio,
+        "safe": ratio >= 3.0,
+    }
 
 
 _PLAN_GRIDS = {}

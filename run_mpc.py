@@ -2,7 +2,14 @@
 replaces the reference's RL training loops; BASELINE.json north star).
 
 Usage: python run_mpc.py --simcase bump-on-tail --max_mode 4 \\
-           --n_candidates 512 --horizon 10 --plan_particles 1024 --plan_mesh 64
+           --n_candidates 512 --horizon 8 --plan_modes 8
+
+Planning runs at full fidelity by default. ``--plan_particles`` speeds up
+solves ~proportionally but is only safe while the coherent field dwarfs the
+subsample's injected noise floor (strong-signal regimes like a growing
+two-stream); on quiet plasmas it makes the controller PUMP the field it
+should damp — the script checks this at t=0 and warns
+(control/mpc.py::plan_fidelity_check).
 """
 
 import jax
@@ -41,6 +48,20 @@ def main():
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
     actuator = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode, endpoint_grid=ctrl.endpoint_grid)
     state = init_state(cfg, jax.random.PRNGKey(cfg.seed))
+
+    if mpc.plan_particles and mpc.plan_particles < cfg.n_particles:
+        from plasma_control_tpu.control.mpc import plan_fidelity_check
+
+        chk = plan_fidelity_check(state, cfg, ctrl, mpc)
+        if not chk["safe"]:
+            print(
+                f"# WARNING: --plan_particles {mpc.plan_particles} injects a plan-model "
+                f"noise floor ({chk['injected_noise_pe']:.1f}) comparable to the coherent "
+                f"field energy ({chk['coherent_pe']:.1f}, ratio {chk['ratio']:.2f} < 3) — "
+                "the planner can 'cancel' noise that does not exist in the real plasma "
+                "and pump it instead of damping. Plan at full fidelity (drop "
+                "--plan_particles) for quiet/saturated plasmas."
+            )
 
     if args["checkpoint_every"]:
         from plasma_control_tpu.io.resume import resumable_mpc_rollout

@@ -422,3 +422,37 @@ class TestTerminalCost:
         un = rollout(st, grid, cfg)
         assert np.isfinite(np.asarray(out.field_energy)).all()
         assert float(jnp.mean(out.field_energy[-20:])) < float(jnp.mean(un.field_energy[-20:]))
+
+
+class TestPlanFidelityCheck:
+    def test_quiet_plasma_flags_subsampling_unsafe(self):
+        """A freshly initialized (quiet, near-noise-floor) bump-on-tail state
+        must flag particle-subsampled planning as unsafe — the measured
+        failure mode (experiments/bot_bench_scale_debug.py)."""
+        from plasma_control_tpu.control.mpc import plan_fidelity_check
+
+        cfg = SimConfig(simcase="bump-on-tail", n_particles=2000, n_mesh=64,
+                        dt=0.1, t_max=10.0, length=50.0)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        chk = plan_fidelity_check(st, cfg, CTRL, MPCConfig(plan_particles=500))
+        assert not chk["safe"]
+        assert chk["injected_noise_pe"] > 0
+
+    def test_coherent_state_is_safe_and_full_fidelity_is_safe(self):
+        """A strongly bunched (coherent) state is safe to plan subsampled;
+        full-fidelity planning injects nothing and is always safe."""
+        from plasma_control_tpu.control.mpc import plan_fidelity_check
+        from plasma_control_tpu.models.pic import PlasmaState
+
+        cfg = tiny_cfg()
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        # bunch all particles near x = L/2: huge coherent low-mode field
+        x = jnp.mod(0.5 * cfg.length + 1.5 * jax.random.normal(jax.random.PRNGKey(1), st.x.shape), cfg.length)
+        bunched = PlasmaState(x, st.v)
+        chk = plan_fidelity_check(bunched, cfg, CTRL, MPCConfig(plan_particles=250))
+        assert chk["safe"]
+        assert chk["ratio"] > 3.0
+
+        chk_full = plan_fidelity_check(st, cfg, CTRL, MPCConfig())
+        assert chk_full["safe"]
+        assert chk_full["injected_noise_pe"] == 0.0
