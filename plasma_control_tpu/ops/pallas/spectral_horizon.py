@@ -1,0 +1,178 @@
+"""Fused Pallas TPU kernel: the WHOLE spectral-planner horizon per launch.
+
+The default MPC planner (`MPCConfig.plan_model="spectral"`) rolls K candidate
+control sequences through the gridless low-mode dynamics
+(`plasma_control_tpu/control/mpc.py::_horizon_cost_spectral`): per step, a
+staggered-KDK drift, one pass of the cos/sin angle-addition recurrence giving
+the Km mode sums (deposit), the mode-space Poisson solve (a per-mode scale),
+and the field evaluation back at the particles (gather) — all O(N*Km) VPU
+MACs with two transcendentals per particle-step.
+
+On the XLA path the horizon runs as a ``lax.scan`` whose carry — the
+(K, N) positions and staggered velocities — round-trips HBM every step:
+at the benchmark shapes (K=512, N=5000 full fidelity, H=8) that is
+2 x 2 x K x N x 4 B ~ 80 MB of HBM traffic per step, a large fraction of the
+measured 1.9 ms/solve at v5e bandwidth. This kernel instead keeps a tile of
+``KB`` candidates' particle state in VMEM for the ENTIRE horizon: HBM sees
+(x0, v0) and the per-candidate mode coefficients in, and the (K, H) per-step
+field energies out — O(K*N) total instead of O(K*N*H).
+
+Semantics match ``_horizon_cost_spectral`` exactly (same ops, fp32, same
+merged-half-kick staggered KDK, same initial un-merged half kick, same
+post-drift PE): the returned (K, H) PE block feeds the identical cost
+assembly (w_field / w_input / w_terminal) in ``candidate_costs``.
+
+Padding: particles are padded to a lane multiple with x=0, v=0 and a zero
+mask folded into the per-step cos/sin — a masked particle's recurrence
+values are identically zero, so it contributes nothing to any mode sum and
+receives zero acceleration (it never moves, never costs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_spectral_horizon", "spectral_horizon_supported"]
+
+_KB = 16  # candidate tile (sublane multiple of 8)
+_VMEM_SCRATCH_BUDGET = 10 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def spectral_horizon_supported(n_particles: int) -> bool:
+    """True if the ~8 live (KB, N_pad) fp32 arrays fit the VMEM budget."""
+    n_pad = _round_up(n_particles, 128)
+    return 8 * _KB * n_pad * 4 <= _VMEM_SCRATCH_BUDGET
+
+
+def _kernel(
+    x0_ref, v0_ref, mask_ref, u0c_ref, u0s_ref, pc_ref, ps_ref, pe_ref,
+    *, km: int, horizon: int, dt: float, length: float, g: tuple, inv_k2: tuple,
+    pe_scale: float, kb: int,
+):
+    c_ang = 2.0 * np.pi / length
+    n = x0_ref.shape[1]
+    mask = mask_ref[:]  # (1, N)
+
+    # ---- initial un-merged half-kick at the shared x0 ----------------------
+    t0 = c_ang * x0_ref[:]  # (1, N)
+    c1_0 = jnp.cos(t0) * mask
+    s1_0 = jnp.sin(t0) * mask
+    acc0 = jnp.zeros((kb, n), jnp.float32)
+    c_prev, s_prev = c1_0, s1_0
+    for m in range(km):
+        if m > 0:
+            c_next = c_prev * c1_0 - s_prev * s1_0
+            s_next = s_prev * c1_0 + c_prev * s1_0
+            c_prev, s_prev = c_next, s_next
+        cm = jnp.sum(c_prev)  # shared scalar mode sums at x0
+        sm = jnp.sum(s_prev)
+        pc0 = g[m] * sm + u0c_ref[:, m : m + 1]  # (KB, 1)
+        ps0 = -(g[m] * cm) + u0s_ref[:, m : m + 1]
+        acc0 = acc0 + pc0 * c_prev + ps0 * s_prev
+    x = jnp.broadcast_to(x0_ref[:], (kb, n))
+    vh = v0_ref[:] + 0.5 * dt * (-acc0)  # broadcasts (1,N)+(KB,N)
+
+    # ---- H merged-kick steps, fully unrolled, state resident in VMEM -------
+    inv_l = 1.0 / length
+    for t in range(horizon):
+        x = x + dt * vh
+        x = x - length * jnp.floor(x * inv_l)
+        ang = c_ang * x
+        c1 = jnp.cos(ang) * mask
+        s1 = jnp.sin(ang) * mask
+        acc = jnp.zeros((kb, n), jnp.float32)
+        pe = jnp.zeros((kb, 1), jnp.float32)
+        c_prev, s_prev = c1, s1
+        for m in range(km):
+            if m > 0:
+                c_next = c_prev * c1 - s_prev * s1
+                s_next = s_prev * c1 + c_prev * s1
+                c_prev, s_prev = c_next, s_next
+            cm = jnp.sum(c_prev, axis=-1, keepdims=True)  # (KB, 1)
+            sm = jnp.sum(s_prev, axis=-1, keepdims=True)
+            col = t * km + m
+            pc = 2.0 * (g[m] * sm) + pc_ref[:, col : col + 1]
+            ps = 2.0 * (-(g[m] * cm)) + ps_ref[:, col : col + 1]
+            acc = acc + pc * c_prev + ps * s_prev
+            pe = pe + (cm * cm + sm * sm) * inv_k2[m]
+        vh = vh + 0.5 * dt * (-acc)
+        pe_ref[:, t : t + 1] = pe_scale * pe
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("length", "dt", "n0", "n_particles", "interpret"),
+)
+def fused_spectral_horizon(
+    x0: jax.Array,  # (N,)
+    v0: jax.Array,  # (N,)
+    u_c: jax.Array,  # (K, H, Km) padded external cosine coefficients
+    u_s: jax.Array,  # (K, H, Km)
+    *,
+    length: float,
+    dt: float,
+    n0: float,
+    n_particles: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """(K, H) exact post-drift spectral-model field energies per candidate."""
+    k_cand, horizon, km = u_c.shape
+    n_pad = _round_up(n_particles, 128)
+    # largest tile <= _KB that divides K (sub-sublane tiles are legal, just
+    # less efficient — keeps sharded local blocks of any size working)
+    kb = next(d for d in (_KB, 8, 4, 2, 1) if k_cand % d == 0)
+
+    pad = n_pad - n_particles
+    x0p = jnp.pad(x0.astype(jnp.float32), (0, pad))[None, :]
+    v0p = jnp.pad(v0.astype(jnp.float32), (0, pad))[None, :]
+    mask = jnp.pad(jnp.ones((n_particles,), jnp.float32), (0, pad))[None, :]
+
+    # pair_t = u_t + u_{t+1} (last: u_{H-1} + u_{H-1}), flattened to (K, H*Km)
+    pair_c = (jnp.concatenate([u_c[:, 1:], u_c[:, -1:]], axis=1) + u_c).reshape(k_cand, -1)
+    pair_s = (jnp.concatenate([u_s[:, 1:], u_s[:, -1:]], axis=1) + u_s).reshape(k_cand, -1)
+    u0c = u_c[:, 0, :]
+    u0s = u_s[:, 0, :]
+
+    kv = 2.0 * np.pi / length * np.arange(1, km + 1)
+    kernel = functools.partial(
+        _kernel,
+        km=km,
+        horizon=horizon,
+        dt=dt,
+        length=length,
+        g=tuple(float(v) for v in 2.0 * n0 / (n_particles * kv)),
+        inv_k2=tuple(float(v) for v in 1.0 / (kv * kv)),
+        pe_scale=n0**2 / n_particles,
+        kb=kb,
+    )
+    bcast = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    per_cand = lambda width: pl.BlockSpec(
+        (kb, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(k_cand // kb,),
+        in_specs=[
+            bcast,  # x0
+            bcast,  # v0
+            bcast,  # mask
+            per_cand(km),  # u0c
+            per_cand(km),  # u0s
+            per_cand(horizon * km),  # pair_c
+            per_cand(horizon * km),  # pair_s
+        ],
+        out_specs=per_cand(horizon),
+        out_shape=jax.ShapeDtypeStruct((k_cand, horizon), jnp.float32),
+        interpret=interpret,
+    )(x0p, v0p, mask, u0c, u0s, pair_c, pair_s)

@@ -126,7 +126,9 @@ class TestPlan:
             np.asarray(_mode_eval(c1, s1, pc, ps)), np.asarray(pc @ cb + ps @ sb),
             rtol=1e-4, atol=1e-4)
 
-    def test_spectral_rejects_grid_pallas_kernels(self):
+    def test_spectral_rejects_packed_grid_kernel(self):
+        """'packed' is grid-only; 'fused' with the spectral model dispatches
+        the whole-horizon spectral Pallas kernel (TestFusedSpectral)."""
         cfg = tiny_cfg()
         grid = make_grid(cfg.n_mesh, cfg.length)
         act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
@@ -135,7 +137,7 @@ class TestPlan:
         with pytest.raises(ValueError, match="grid-planner"):
             candidate_costs(
                 st, cand, grid, cfg,
-                MPCConfig(horizon=3, plan_model="spectral", plan_kernel="fused"), act)
+                MPCConfig(horizon=3, plan_model="spectral", plan_kernel="packed"), act)
 
     def test_fused_kdk_matches_xla_kdk(self):
         """The one-launch Pallas horizon kernel (plan_kernel='fused',
@@ -456,3 +458,46 @@ class TestPlanFidelityCheck:
         chk_full = plan_fidelity_check(st, cfg, CTRL, MPCConfig())
         assert chk_full["safe"]
         assert chk_full["injected_noise_pe"] == 0.0
+
+
+class TestFusedSpectral:
+    def test_fused_spectral_matches_xla_spectral(self):
+        """The whole-horizon Pallas spectral kernel returns the same candidate
+        costs as the XLA scan path (same ops, fp32 reassociation only)."""
+        cfg = tiny_cfg(n_particles=384)  # non-multiple of 128: exercises padding
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (16, 5, 4))
+        base = dict(horizon=5, n_candidates=16, plan_modes=6)
+        c_xla = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(**base), act))
+        c_fused = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(**base, plan_kernel="fused"), act))
+        np.testing.assert_allclose(c_fused, c_xla, rtol=2e-4, atol=1e-5)
+
+    def test_fused_spectral_with_terminal_cost(self):
+        cfg = tiny_cfg(n_particles=256)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4))
+        base = dict(horizon=4, n_candidates=8, plan_modes=4, w_terminal=3.0)
+        c_xla = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(**base), act))
+        c_fused = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(**base, plan_kernel="fused"), act))
+        np.testing.assert_allclose(c_fused, c_xla, rtol=2e-4, atol=1e-5)
+
+    def test_auto_dispatch_policy(self):
+        """'auto' picks the fused spectral kernel only on real TPU at
+        supported sizes; 'fused' forces it or errors; 'xla' never."""
+        from plasma_control_tpu.control.mpc import _use_spectral_fused
+
+        assert _use_spectral_fused("auto", 5000, "tpu")
+        assert not _use_spectral_fused("auto", 5000, "cpu")
+        assert not _use_spectral_fused("auto", 10_000_000, "tpu")  # VMEM
+        assert not _use_spectral_fused("xla", 5000, "tpu")
+        assert _use_spectral_fused("fused", 5000, "cpu")
+        with pytest.raises(ValueError):
+            _use_spectral_fused("fused", 10_000_000, "tpu")
