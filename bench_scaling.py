@@ -27,7 +27,7 @@ import numpy as np
 
 
 def _emit(name, value, unit, **extra):
-    print(json.dumps({"config": name, "value": round(value, 3), "unit": unit, **extra}))
+    print(json.dumps({"config": name, "value": round(value, 5), "unit": unit, **extra}))
 
 
 def config1():
@@ -108,7 +108,8 @@ def config3():
     np.asarray(chain(st, mean, jax.random.PRNGKey(1)))
     t0 = time.perf_counter()
     np.asarray(chain(st, mean, jax.random.PRNGKey(2)))
-    _emit("3-mpc-1chip", reps / (time.perf_counter() - t0), "solves/s", K=512, H=10)
+    _emit("3-mpc-1chip", reps / (time.perf_counter() - t0), "solves/s", K=512, H=mpc.horizon,
+          note="wall-clock incl. per-launch tunnel latency; bench.py's slope method is canonical")
 
 
 def config4():

@@ -131,6 +131,7 @@ def dagger_train(
     epochs_per_iter: int = 300,
     verbose: bool = True,
     mpc: Optional[MPCConfig] = None,
+    return_best: bool = True,
 ):
     """DAgger loop. Returns (nets, actor_params, history).
 
@@ -139,6 +140,13 @@ def dagger_train(
     phase-conjugate feedback law; an ``MPCConfig`` clones the sampling-MPC
     planner (amortized MPC — the planner beats the feedback law ~2.5x on
     suppression, so the distilled policy's ceiling is much higher).
+
+    ``return_best`` (default) returns the parameters of the iteration with
+    the lowest measured closed-loop tail PE rather than the last: the
+    iterates are noisy (measured 79 -> 138 between consecutive iterations at
+    the landscape config) because each refit sees a different aggregate mix,
+    and each iteration already pays for the evaluation rollout that scores
+    it — keeping the argmin is free model selection.
     """
     k_net, k_env, key = jax.random.split(key, 3)
     nets, ts = make_ddpg(cfg, ctrl, hp, k_net)
@@ -166,6 +174,7 @@ def dagger_train(
         actions = out.coeffs
 
     history = {"bc_loss": [], "pe_tail": []}
+    best_params, best_pe = params, float("inf")
     for it in range(n_iters):
         key, k_fit, k_env2, k_plan = jax.random.split(key, 4)
         params, opt, loss = fit_bc(nets, params, opt, states, actions, k_fit, hp, epochs_per_iter)
@@ -181,7 +190,16 @@ def dagger_train(
         pe_tail = float(jnp.mean(pes[-n_steps // 5 :]))
         history["bc_loss"].append(float(loss))
         history["pe_tail"].append(pe_tail)
+        if pe_tail < best_pe:
+            # host copy: fit_bc DONATES actor_params, so keeping the device
+            # arrays would leave best_params pointing at deleted buffers
+            # after the next iteration
+            best_pe, best_params = pe_tail, jax.device_get(params)
         if verbose:
-            print(f"| dagger iter {it + 1}/{n_iters} | bc_loss {float(loss):.5f} | policy PE_tail {pe_tail:.1f}")
+            print(
+                f"| dagger iter {it + 1}/{n_iters} | bc_loss {float(loss):.5f} "
+                f"| policy PE_tail {pe_tail:.1f}",
+                flush=True,
+            )
 
-    return nets, params, history
+    return nets, (best_params if return_best else params), history

@@ -152,3 +152,27 @@ class TestGSPMDCandidateSharding:
         sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rollout"))
         out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(1), candidate_sharding=sh)
         assert np.isfinite(np.asarray(out.field_energy)).all()
+
+
+class TestShardedFusedSpectral:
+    def test_sharded_costs_with_fused_spectral_kernel(self, devices8):
+        """candidate_costs under shard_map with the whole-horizon spectral
+        Pallas kernel (interpret mode on CPU): each device runs the kernel on
+        its local candidate block; costs match the unsharded XLA path."""
+        from plasma_control_tpu.parallel.pic_shard import make_sharded_candidate_costs
+
+        cfg = cfgs(n_particles=256)
+        ctrl = ControlConfig(max_mode=2)
+        mpc = MPCConfig(horizon=3, n_candidates=32, plan_modes=4, plan_kernel="fused")
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (32, 3, 4))
+
+        mesh = make_mesh(axis_names=("rollout",))
+        costs_fn = make_sharded_candidate_costs(mesh, grid, cfg, mpc, act)
+        c_sharded = np.asarray(costs_fn(st, cand))
+
+        mpc_xla = MPCConfig(horizon=3, n_candidates=32, plan_modes=4, plan_kernel="xla")
+        c_ref = np.asarray(candidate_costs(st, cand, grid, cfg, mpc_xla, act))
+        np.testing.assert_allclose(c_sharded, c_ref, rtol=2e-4, atol=1e-6)

@@ -318,3 +318,9 @@ class TestDAgger:
         assert len(hist["pe_tail"]) == 2
         assert np.isfinite(hist["bc_loss"]).all()
         assert np.isfinite(hist["pe_tail"]).all()
+        # the returned (best-iteration) params must be materializable even
+        # when the best iteration is not the last: fit_bc donates its params
+        # input, so dagger_train must host-copy the best tree (regression:
+        # "Array has been deleted" on save after an 8-iter run)
+        leaves = jax.tree_util.tree_leaves(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
