@@ -669,6 +669,21 @@ def plan(
     """
     h, d = mean.shape
 
+    if candidate_sharding is not None and mpc.plan_kernel != "xla":
+        # GSPMD cannot partition a pallas_call: the Pallas planning kernels
+        # only compose with multi-chip via shard_map (each device runs the
+        # kernel on its local candidate block — parallel.pic_shard.
+        # sharded_plan). Under the constraint path, "auto" falls back to the
+        # XLA kernels; explicitly forced Pallas kernels are a config error.
+        if mpc.plan_kernel in ("fused", "packed"):
+            raise ValueError(
+                f"plan_kernel={mpc.plan_kernel!r} (Pallas) cannot be used with "
+                "candidate_sharding (GSPMD constraint path) — use "
+                "parallel.pic_shard.sharded_plan (shard_map) for multi-chip "
+                "with Pallas planning kernels"
+            )
+        mpc = dataclasses.replace(mpc, plan_kernel="xla")
+
     # Multi-fidelity: candidate rollouts may run on a reduced model.
     state, grid, cfg = _plan_model(state, grid, cfg, mpc)
     if actuator.n_mesh != grid.n_mesh:

@@ -176,3 +176,27 @@ class TestShardedFusedSpectral:
         mpc_xla = MPCConfig(horizon=3, n_candidates=32, plan_modes=4, plan_kernel="xla")
         c_ref = np.asarray(candidate_costs(st, cand, grid, cfg, mpc_xla, act))
         np.testing.assert_allclose(c_sharded, c_ref, rtol=2e-4, atol=1e-6)
+
+    def test_gspmd_constraint_path_rejects_pallas_kernels(self, devices8):
+        """plan(candidate_sharding=...) is the GSPMD path — Pallas planning
+        kernels only compose with multi-chip via shard_map (sharded_plan);
+        forcing one is a config error, and 'auto' silently uses XLA."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = cfgs(n_particles=256)
+        ctrl = ControlConfig(max_mode=2)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(axis_names=("rollout",))
+        sh = NamedSharding(mesh, P("rollout"))
+        mean = jnp.zeros((3, 4))
+        with pytest.raises(ValueError, match="shard_map"):
+            plan(st, mean, jnp.asarray(0.3), jax.random.PRNGKey(1), grid, cfg,
+                 ctrl, MPCConfig(horizon=3, n_candidates=32, plan_kernel="fused"),
+                 act, candidate_sharding=sh)
+        # auto: falls back to XLA, runs fine
+        a, nm, best = plan(st, mean, jnp.asarray(0.3), jax.random.PRNGKey(1),
+                           grid, cfg, ctrl, MPCConfig(horizon=3, n_candidates=32),
+                           act, candidate_sharding=sh)
+        assert np.isfinite(float(best))
