@@ -120,11 +120,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-    import jax.numpy as jnp
-
     from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
     from plasma_control_tpu.control.actuator import make_actuator
-    from plasma_control_tpu.control.mpc import plan
     from plasma_control_tpu.models.pic import init_state
     from plasma_control_tpu.models.rollout import rollout
     from plasma_control_tpu.ops.grid import make_grid
@@ -145,59 +142,21 @@ def main():
     grid = make_grid(cfg.n_mesh, cfg.length)
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    mean = jnp.zeros((mpc.horizon, ctrl.n_actions), dtype=jnp.float32)
-    sigma = jnp.asarray(mpc.sigma0, dtype=jnp.float32)
 
-    # Sustained throughput: chains of solves inside one compiled scan —
-    # exactly how the receding-horizon loop runs (no host syncs between
-    # solves; each solve warm-starts from the previous nominal). The rate is
-    # the two-length chain-slope (r2-r1 solves): the constant per-launch
-    # tunnel/dispatch latency of the remote attachment (~0.3 s here, an
-    # artifact of the axon tunnel, amortized to zero in a production
-    # receding-horizon run of hundreds of solves) cancels in the subtraction;
-    # every call uses fresh keys so no relay cache can serve results
-    # (DEVNOTES: measurement methodology).
-    r1, r2 = 2, 52
+    # Sustained throughput: the canonical two-length warm-started solve-chain
+    # slope (utils/timing.py::mpc_solve_rate) — the constant per-launch
+    # tunnel/dispatch latency of the remote attachment (~0.3 s here,
+    # amortized to zero in a production receding-horizon run of hundreds of
+    # solves) cancels in the chain-length subtraction; fresh keys per call
+    # defeat any relay cache (DEVNOTES: measurement methodology).
+    from plasma_control_tpu.utils.timing import mpc_solve_rate
 
-    def measure(mpc_cfg, mean_h):
-        def solve_chain(reps):
-            @jax.jit
-            def run(st, mn, key):
-                def body(carry, k):
-                    mn_c, _ = carry
-                    action, new_mean, best = plan(
-                        st, mn_c, sigma, k, grid, cfg, ctrl, mpc_cfg, act)
-                    return (new_mean, best), best
-
-                (_, best), bests = jax.lax.scan(
-                    body, (mn, jnp.asarray(0.0, jnp.float32)), jax.random.split(key, reps))
-                return bests
-
-            return run
-
-        f1, f2 = solve_chain(r1), solve_chain(r2)
-        t0 = time.perf_counter()
-        np.asarray(f1(state, mean_h, jax.random.PRNGKey(1)))
-        np.asarray(f2(state, mean_h, jax.random.PRNGKey(2)))
-        compile_s = time.perf_counter() - t0
-
-        slopes, wall = [], []
-        for i in range(3):
-            t0 = time.perf_counter()
-            np.asarray(f1(state, mean_h, jax.random.PRNGKey(10 + 2 * i)))
-            ta = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            np.asarray(f2(state, mean_h, jax.random.PRNGKey(11 + 2 * i)))
-            tb = time.perf_counter() - t0
-            slopes.append((tb - ta) / (r2 - r1))
-            wall.append(tb)
-        return 1.0 / float(np.median(slopes)), slopes, wall, compile_s
-
-    solves_per_s, slopes, wall, compile_s = measure(mpc, mean)
-    details["mpc_compile_s"] = compile_s
+    res = mpc_solve_rate(state, grid, cfg, ctrl, mpc, act)
+    solves_per_s = res["solves_per_s"]
+    details["mpc_compile_s"] = res["compile_s"]
     details["mpc_solves_per_s"] = solves_per_s
-    details["mpc_ms_per_solve_all"] = [round(1e3 * s, 3) for s in slopes]
-    details["mpc_wall_chain52_s"] = round(float(np.median(wall)), 3)
+    details["mpc_ms_per_solve_all"] = [round(1e3 * s, 3) for s in res["sec_per_solve_all"]]
+    details["mpc_wall_chain52_s"] = round(res["wall_chain_s"], 3)
 
     # Secondary: the particle-subsampled planning configuration (plan 1024 of
     # 5000, Km=16, H=10) — valid ONLY for strong-signal regimes (e.g. a
@@ -205,9 +164,9 @@ def main():
     # workload (module docstring). Recorded for the scaling story, not the
     # headline.
     mpc_rf = MPCConfig(horizon=10, n_candidates=512, plan_particles=1024, plan_mesh=64)
-    mean_rf = jnp.zeros((mpc_rf.horizon, ctrl.n_actions), dtype=jnp.float32)
-    rf_rate, _, _, _ = measure(mpc_rf, mean_rf)
-    details["mpc_solves_per_s_reduced_fidelity"] = rf_rate
+    details["mpc_solves_per_s_reduced_fidelity"] = mpc_solve_rate(
+        state, grid, cfg, ctrl, mpc_rf, act
+    )["solves_per_s"]
 
     # ---------------- sub-benchmark: particle-push steps/s ----------------
     cfg1 = SimConfig(simcase="two-stream", n_particles=10000, n_mesh=64, dt=0.1, t_max=50.0)

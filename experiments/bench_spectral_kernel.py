@@ -9,7 +9,6 @@ Measured results are recorded below / in DEVNOTES after each run.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -19,14 +18,11 @@ if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import numpy as np
-    import jax.numpy as jnp
-
     from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
     from plasma_control_tpu.control.actuator import make_actuator
-    from plasma_control_tpu.control.mpc import plan
     from plasma_control_tpu.models.pic import init_state
     from plasma_control_tpu.ops.grid import make_grid
+    from plasma_control_tpu.utils.timing import mpc_solve_rate
 
     cfg = SimConfig(simcase="bump-on-tail", n_particles=5000, n_mesh=250,
                     dt=0.1, t_max=50.0, length=50.0)
@@ -34,34 +30,9 @@ if __name__ == "__main__":
     grid = make_grid(cfg.n_mesh, cfg.length)
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    r1, r2 = 2, 52
 
     def rate(mpc):
-        mean = jnp.zeros((mpc.horizon, ctrl.n_actions), jnp.float32)
-        sigma = jnp.asarray(mpc.sigma0, jnp.float32)
-
-        def chain(reps):
-            @jax.jit
-            def run(st, mn, key):
-                def body(carry, k):
-                    a, nm, best = plan(st, carry[0], sigma, k, grid, cfg, ctrl, mpc, act)
-                    return (nm, best), best
-
-                (_, b), _ = jax.lax.scan(
-                    body, (mn, jnp.asarray(0.0, jnp.float32)), jax.random.split(key, reps))
-                return b
-
-            return run
-
-        f1, f2 = chain(r1), chain(r2)
-        np.asarray(f1(state, mean, jax.random.PRNGKey(1)))
-        np.asarray(f2(state, mean, jax.random.PRNGKey(2)))
-        slopes = []
-        for i in range(3):
-            t0 = time.perf_counter(); np.asarray(f1(state, mean, jax.random.PRNGKey(10 + 2 * i))); ta = time.perf_counter() - t0
-            t0 = time.perf_counter(); np.asarray(f2(state, mean, jax.random.PRNGKey(11 + 2 * i))); tb = time.perf_counter() - t0
-            slopes.append((tb - ta) / (r2 - r1))
-        return 1.0 / float(np.median(slopes))
+        return mpc_solve_rate(state, grid, cfg, ctrl, mpc, act)["solves_per_s"]
 
     variants = [
         ("bench H8.Km8.fullN xla  ", MPCConfig(horizon=8, n_candidates=512, plan_modes=8, plan_kernel="xla")),
@@ -77,3 +48,5 @@ if __name__ == "__main__":
 #   H10.Km16.fullN      xla 314.3  fused 404.4  (1.29x)
 # bench.py full run with auto->fused: 841.5 solves/s headline (1.2 ms/solve),
 # reduced-fidelity secondary 1506.9, vs_baseline 1349x (best-of-5 C++ trials).
+# Tile sweep (PLASMA_SPECTRAL_KB, same shapes, 2026-08-19): KB=8: 805.9,
+# KB=16: 825.9 (default), KB=32: 768.5 solves/s.

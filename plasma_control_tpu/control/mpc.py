@@ -70,21 +70,31 @@ def plan_fidelity_check(
 
     Subsampling n of N particles injects *unscreened* sampling noise into the
     planning model's low Fourier modes: per mode, added energy
-    ``n0^2 (1 - n/N) / (2 k_m^2)`` in field-energy units (hypergeometric
-    variance of the subsampled mode sums), while the real plasma's low-mode
-    noise is Debye-screened far below that. When the coherent signal the
-    controller should act on is not well above this injected floor, the
-    planner "profits" in-model by cancelling the subsample's noise phases —
-    which do not exist in the real plasma — and the applied drive pumps the
-    real field instead of damping it. Measured (2026-08-19, bench scale
-    bump-on-tail N=5000, plan 1024): tail PE 270 controlled vs 33
-    uncontrolled; full-fidelity planning at the same state suppresses to ~20
-    (experiments/bot_bench_scale_debug.py, DEVNOTES). Two-stream is immune
-    in practice because its coherent field (~1000) dwarfs the floor.
+    ``n0^2 (1 - n/N) / k_m^2`` in plan-model field-energy units (both
+    quadratures of the hypergeometric variance of the subsampled mode sums:
+    E[c^2 + s^2] = n(1 - n/N) for the noise part, times the plan PE scale
+    n0^2/n), while the real plasma's low-mode noise is Debye-screened far
+    below that. When the coherent signal the controller should act on is not
+    well above this injected floor, the planner "profits" in-model by
+    cancelling the subsample's noise phases — which do not exist in the real
+    plasma — and the applied drive pumps the real field instead of damping
+    it. Measured (2026-08-19, bench scale bump-on-tail N=5000, plan 1024 and
+    2048): tail PE 270-330 controlled vs 33 uncontrolled; full-fidelity
+    planning at the same state suppresses to ~11-20
+    (experiments/bot_bench_scale_debug.py, DEVNOTES). A growing two-stream
+    becomes immune once its coherent field (~1000) dwarfs the floor; at a
+    QUIET t=0 the check is conservative by construction (the coherent signal
+    only appears as the instability grows).
+
+    The comparison is done consistently in the PLAN model's frame: the
+    coherent modal energy of the full state (its measured modal PE minus its
+    own Poisson floor ``n0^2/k^2``) appears in the subsampled model
+    attenuated by n/N (plan PE scale n0^2/n times the (n/N)^2-scaled mode
+    sums).
 
     Returns {"coherent_pe", "injected_noise_pe", "ratio", "safe"}; ``safe``
-    means coherent >= 3x injected. Cheap (one pass over the full state);
-    called by run_mpc at t=0 when a particle reduction is requested.
+    means plan-frame coherent >= 3x injected. Cheap (one pass over the full
+    state); called by run_mpc at t=0 when a particle reduction is requested.
     """
     import numpy as np
 
@@ -95,12 +105,14 @@ def plan_fidelity_check(
     t = (2.0 * np.pi / cfg.length) * np.asarray(jnp.ravel(state.x))
     c = np.stack([np.sum(np.cos(m * t)) for m in range(1, km + 1)])
     s = np.stack([np.sum(np.sin(m * t)) for m in range(1, km + 1)])
-    # full-state modal field energy minus its own Poisson floor = coherent part
+    # full-state modal field energy minus its own Poisson shot floor
+    # (E[c^2+s^2] = N for iid-uniform positions) = coherent part
     modal = (cfg.n0**2 / n) * (c * c + s * s) / (k * k)
-    floor_full = cfg.n0**2 / 2.0 / (k * k)
-    coherent = float(np.sum(np.maximum(modal - floor_full, 0.0)))
+    floor_full = cfg.n0**2 / (k * k)
     frac = min(n_plan / n, 1.0)
-    injected = float(np.sum(cfg.n0**2 * (1.0 - frac) / 2.0 / (k * k)))
+    # plan-frame: coherent attenuates by n/N; injected noise is (1-n/N)-scaled
+    coherent = frac * float(np.sum(np.maximum(modal - floor_full, 0.0)))
+    injected = float(np.sum(cfg.n0**2 * (1.0 - frac) / (k * k)))
     ratio = coherent / injected if injected > 0 else float("inf")
     return {
         "coherent_pe": coherent,

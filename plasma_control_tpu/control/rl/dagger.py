@@ -174,7 +174,12 @@ def dagger_train(
         actions = out.coeffs
 
     history = {"bc_loss": [], "pe_tail": []}
-    best_params, best_pe = params, float("inf")
+    # None (-> fall back to the final params) rather than the initial tree:
+    # fit_bc donates its params input, so if no iteration ever improves
+    # best_pe (e.g. every evaluation rollout diverges to NaN, which fails
+    # the < comparison), an alias of the initial device buffers would be
+    # returned deleted.
+    best_params, best_pe = None, float("inf")
     for it in range(n_iters):
         key, k_fit, k_env2, k_plan = jax.random.split(key, 4)
         params, opt, loss = fit_bc(nets, params, opt, states, actions, k_fit, hp, epochs_per_iter)
@@ -202,4 +207,6 @@ def dagger_train(
                 flush=True,
             )
 
-    return nets, (best_params if return_best else params), history
+    if return_best and best_params is not None:
+        return nets, best_params, history
+    return nets, params, history

@@ -31,6 +31,7 @@ receives zero acceleration (it never moves, never costs).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -41,7 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_spectral_horizon", "spectral_horizon_supported"]
 
-_KB = 16  # candidate tile (sublane multiple of 8)
+def _kb_from_env(default: int = 16) -> int:
+    """Candidate tile for tile-size studies (experiments/
+    bench_spectral_kernel.py records measured rates per KB; 16 is the
+    measured best at the bench shapes). Clamped to a positive multiple of 8
+    — the sublane granule — and falls back to the default on garbage."""
+    try:
+        v = int(os.environ.get("PLASMA_SPECTRAL_KB", default))
+    except ValueError:
+        return default
+    return max(8, (v // 8) * 8)
+
+
+_KB = _kb_from_env()
 _VMEM_SCRATCH_BUDGET = 10 * 1024 * 1024
 
 
@@ -131,7 +144,9 @@ def fused_spectral_horizon(
     n_pad = _round_up(n_particles, 128)
     # largest tile <= _KB that divides K (sub-sublane tiles are legal, just
     # less efficient — keeps sharded local blocks of any size working)
-    kb = next(d for d in (_KB, 8, 4, 2, 1) if k_cand % d == 0)
+    kb = next(
+        d for d in dict.fromkeys((_KB, 16, 8, 4, 2, 1)) if d <= _KB and k_cand % d == 0
+    )
 
     pad = n_pad - n_particles
     x0p = jnp.pad(x0.astype(jnp.float32), (0, pad))[None, :]

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["time_fn", "slope_time", "profile_trace"]
+__all__ = ["time_fn", "slope_time", "mpc_solve_rate", "profile_trace"]
 
 
 def time_fn(fn: Callable, *args, reps: int = 10, warmup: int = 1) -> float:
@@ -65,6 +65,72 @@ def slope_time(step_fn: Callable, carry0, r1: int = 2, r2: int = 52) -> float:
     np.asarray(jax.tree.leaves(f2(carry0))[0])
     tb = time.perf_counter() - t0
     return max(tb - ta, 0.0) / (r2 - r1)
+
+
+def mpc_solve_rate(
+    state,
+    grid,
+    cfg,
+    ctrl,
+    mpc,
+    actuator,
+    r1: int = 2,
+    r2: int = 52,
+    trials: int = 3,
+) -> dict:
+    """Canonical MPC solves/s measurement: two-length warm-started solve
+    chains (exactly the receding-horizon production pattern — each solve
+    warm-starts from the previous nominal, no host sync inside a chain),
+    rate = median chain-length slope over ``trials`` so the constant
+    per-launch dispatch/tunnel latency cancels; every call uses fresh keys
+    so no relay cache can serve results (DEVNOTES: measurement methodology).
+
+    Single source of truth for bench.py and the experiments/ rate studies.
+    Returns {"solves_per_s", "sec_per_solve_all", "wall_chain_s",
+    "compile_s"}.
+    """
+    from ..control.mpc import plan
+
+    mean = jnp.zeros((mpc.horizon, ctrl.n_actions), dtype=jnp.float32)
+    sigma = jnp.asarray(mpc.sigma0, dtype=jnp.float32)
+
+    def solve_chain(reps):
+        @jax.jit
+        def run(st, mn, key):
+            def body(carry, k):
+                mn_c, _ = carry
+                _, new_mean, best = plan(st, mn_c, sigma, k, grid, cfg, ctrl, mpc, actuator)
+                return (new_mean, best), best
+
+            (_, best), bests = jax.lax.scan(
+                body, (mn, jnp.asarray(0.0, jnp.float32)), jax.random.split(key, reps)
+            )
+            return bests
+
+        return run
+
+    f1, f2 = solve_chain(r1), solve_chain(r2)
+    t0 = time.perf_counter()
+    np.asarray(f1(state, mean, jax.random.PRNGKey(1)))
+    np.asarray(f2(state, mean, jax.random.PRNGKey(2)))
+    compile_s = time.perf_counter() - t0
+
+    slopes, wall = [], []
+    for i in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(f1(state, mean, jax.random.PRNGKey(10 + 2 * i)))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(f2(state, mean, jax.random.PRNGKey(11 + 2 * i)))
+        tb = time.perf_counter() - t0
+        slopes.append((tb - ta) / (r2 - r1))
+        wall.append(tb)
+    return {
+        "solves_per_s": 1.0 / float(np.median(slopes)),
+        "sec_per_solve_all": slopes,
+        "wall_chain_s": float(np.median(wall)),
+        "compile_s": compile_s,
+    }
 
 
 @contextlib.contextmanager
