@@ -33,7 +33,8 @@ __all__ = ["base_parser", "add_control_args", "add_mpc_args", "build_sim_config"
 
 def base_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
-    p.add_argument("--simcase", type=str, default="two-stream", choices=["two-stream", "bump-on-tail"])
+    p.add_argument("--simcase", type=str, default="two-stream",
+                   choices=["two-stream", "bump-on-tail", "landau"])
     p.add_argument("--interpol", type=str, default="CIC", choices=["CIC", "TSC"])
     p.add_argument("--gamma", type=float, default=5.0, help="kept for reference-CLI parity; the spectral solve needs no gamma")
     p.add_argument("--save_file", type=str, default="./dataset/")
@@ -221,12 +222,12 @@ def run_and_save(
     P.plot_e_k_over_time(cfg.t_max, cfg.length, dx, cfg.n_mesh, 5, snapshot, savepath, "Ek_t.pdf")
     if coeff_cos is not None:
         P.plot_e_k_external_over_time(cfg.t_max, coeff_cos, coeff_sin, savepath, "Ek_t_external.pdf")
-    if args["simcase"] == "two-stream":
-        P.plot_two_stream_evolution(snapshot, savepath, "phase_space_evolution.pdf", 0, cfg.length, -10.0, 10.0)
-    else:
+    if args["simcase"] == "bump-on-tail":
         P.plot_bump_on_tail_evolution(
             snapshot, savepath, "phase_space_evolution.pdf", 0, cfg.length, -10.0, 10.0, high_idx
         )
+    else:  # two-stream and landau: plain phase-space scatter
+        P.plot_two_stream_evolution(snapshot, savepath, "phase_space_evolution.pdf", 0, cfg.length, -10.0, 10.0)
     P.plot_x_dist_evolution(snapshot, savepath, "x_dist.pdf", 0, cfg.length, cfg.n_mesh)
     P.plot_v_dist_evolution(snapshot, savepath, "v_dist.pdf", -10.0, 10.0, cfg.n_mesh)
     print(f"# saved artifacts: {filepath} (data), {savepath} (plots)")

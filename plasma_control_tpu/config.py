@@ -13,7 +13,7 @@ import dataclasses
 import math
 from typing import Literal, Optional
 
-SimCase = Literal["two-stream", "bump-on-tail"]
+SimCase = Literal["two-stream", "bump-on-tail", "landau"]
 
 
 @dataclasses.dataclass(frozen=True)

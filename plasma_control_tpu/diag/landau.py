@@ -24,6 +24,7 @@ __all__ = [
     "compute_bounce_time",
     "compute_numerical_entropy",
     "compute_linear_damping_rate_analytic",
+    "landau_damping_rate_analytic_sim",
     "compute_linear_damping_rate",
     "damping_rate_from_field_energy",
 ]
@@ -61,11 +62,39 @@ def compute_numerical_entropy(
 
 
 def compute_linear_damping_rate_analytic(k: float, v_th: float, n0: float) -> float:
-    """Textbook Landau rate (parity with `landau.py:28-42`)."""
+    """Textbook Landau rate (parity with `landau.py:28-42`).
+
+    Reference quirks preserved: uses ``w_pe = sqrt(4 pi n0)`` (Gaussian-units
+    plasma frequency, inconsistent with the simulation's own unit system
+    where ``Laplacian phi = n - n0`` gives ``w_pe = sqrt(n0)``) and omits the
+    Bohm-Gross ``-3/2`` term in the exponent. For validating the ``landau``
+    simcase against the simulation, use
+    :func:`landau_damping_rate_analytic_sim`."""
     w_pe = np.sqrt(4.0 * np.pi * n0)
     lamda_de = v_th / w_pe
     kl = k * lamda_de
     return float(np.exp(-1.0 / (2.0 * kl**2)) / kl**3 * np.sqrt(np.pi / 8.0) * w_pe)
+
+
+def landau_damping_rate_analytic_sim(k: float, v_th: float, n0: float = 1.0) -> float:
+    """Linear Landau damping rate gamma (< 0) in THIS simulation's units.
+
+    The PIC solves ``Laplacian phi = n - n0`` with acceleration ``-E``, so
+    the plasma frequency is ``w_pe = sqrt(n0)`` and ``lambda_D = v_th/w_pe``.
+    Weak-damping expansion of the kinetic dispersion relation about the
+    Bohm-Gross frequency ``w ~ w_pe (1 + 3/2 (k lambda_D)^2)``:
+
+        gamma = -sqrt(pi/8) * w_pe / (k lambda_D)^3
+                * exp(-1/(2 (k lambda_D)^2) - 3/2)
+
+    Valid for ``k lambda_D <~ 0.5`` (the exponential expansion degrades
+    beyond). Used by the ``landau`` simcase validation test
+    (tests/test_physics.py)."""
+    w_pe = np.sqrt(n0)
+    kl = k * v_th / w_pe
+    return float(
+        -np.sqrt(np.pi / 8.0) * w_pe / kl**3 * np.exp(-1.0 / (2.0 * kl**2) - 1.5)
+    )
 
 
 @jax.jit

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 
-__all__ = ["TwoStream", "BumpOnTail", "make_distribution", "sample_initial_state"]
+__all__ = ["TwoStream", "BumpOnTail", "Maxwellian", "make_distribution", "sample_initial_state"]
 
 V_WINDOW = 10.0  # proposal window [-10, 10] (`/root/reference/src/env/dist.py:77`)
 
@@ -99,6 +99,43 @@ class BumpOnTail:
         return jnp.arange(self.n_background, self.n_samples)
 
 
+@dataclasses.dataclass(frozen=True)
+class Maxwellian:
+    """Maxwellian plasma with a density perturbation — the textbook Landau-
+    damping initial condition (NEW capability, no reference analogue: the
+    reference only ships the two beam instabilities and seeds them with a
+    multiplicative *velocity* perturbation, `/root/reference/src/env/pic.py:68`;
+    linear Landau damping is instead excited by a density perturbation
+    n(x) = n0 (1 + A cos(k x)) on a thermal background).
+
+    Positions are sampled by exact inverse-CDF: F(x) = (x + (A/k) sin(kx))/L
+    inverted with a fixed-count Newton iteration (monotone for A < 1,
+    quadratic convergence; 6 iterations reach fp32 roundoff for A <= 0.5).
+    Velocities are the truncated thermal Maxwellian.
+    """
+
+    vth: float = 1.0
+    amplitude: float = 0.1  # A
+    mode: int = 1  # k = 2 pi mode / L
+    n_samples: int = 40000
+    length: float = 50.0
+
+    def sample(self, key: jax.Array, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+        kx, kv = jax.random.split(key)
+        k = 2.0 * jnp.pi * self.mode / self.length
+        a_over_k = self.amplitude / k
+        u = jax.random.uniform(kx, (self.n_samples,), dtype=jnp.float32) * self.length
+        x = u
+        for _ in range(6):
+            x = x - (x + a_over_k * jnp.sin(k * x) - u) / (1.0 + self.amplitude * jnp.cos(k * x))
+        x = jnp.mod(x, self.length).astype(dtype)
+        v = _truncated_normal(kv, self.n_samples, 0.0, self.vth, -V_WINDOW, V_WINDOW, dtype)
+        return x, v
+
+    def high_indices(self) -> jnp.ndarray:
+        return jnp.arange(0)  # not applicable
+
+
 def make_distribution(cfg: SimConfig):
     """Distribution from config, matching the dispatch in
     `/root/reference/run_wo_oc.py:75-79`."""
@@ -106,13 +143,23 @@ def make_distribution(cfg: SimConfig):
         return TwoStream(v0=cfg.vb, sigma=cfg.vth, n_samples=cfg.n_particles, length=cfg.length)
     if cfg.simcase == "bump-on-tail":
         return BumpOnTail(a=cfg.bump_a, v0=cfg.vb, sigma=cfg.vth, n_samples=cfg.n_particles, length=cfg.length)
+    if cfg.simcase == "landau":
+        return Maxwellian(
+            vth=cfg.vth, amplitude=cfg.perturb_amplitude, mode=cfg.perturb_mode,
+            n_samples=cfg.n_particles, length=cfg.length,
+        )
     raise ValueError(f"unknown simcase {cfg.simcase}")
 
 
 def sample_initial_state(cfg: SimConfig, key: jax.Array, dtype=jnp.float32):
     """Sample (x, v) and apply the multiplicative velocity perturbation
-    ``v *= 1 + A sin(2 pi n_mode x / L)`` (`/root/reference/src/env/pic.py:68`)."""
+    ``v *= 1 + A sin(2 pi n_mode x / L)`` (`/root/reference/src/env/pic.py:68`).
+
+    The ``landau`` case carries its perturbation in the positions (density
+    perturbation, the textbook linear-Landau setup) — the velocity
+    perturbation is skipped there."""
     dist = make_distribution(cfg)
     x, v = dist.sample(key, dtype=dtype)
-    v = v * (1.0 + cfg.perturb_amplitude * jnp.sin(2.0 * jnp.pi * cfg.perturb_mode * x / cfg.length))
+    if cfg.simcase != "landau":
+        v = v * (1.0 + cfg.perturb_amplitude * jnp.sin(2.0 * jnp.pi * cfg.perturb_mode * x / cfg.length))
     return x, v

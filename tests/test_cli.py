@@ -29,9 +29,9 @@ def run_script(tmp_path, script, extra):
         sys.argv = old
 
 
-def check_artifacts(tmp_path, tag, controlled=True):
-    d = tmp_path / "dataset" / "two-stream" / tag
-    r = tmp_path / "result" / "two-stream" / tag
+def check_artifacts(tmp_path, tag, controlled=True, simcase="two-stream"):
+    d = tmp_path / "dataset" / simcase / tag
+    r = tmp_path / "result" / simcase / tag
     assert (d / "data.mat").exists()
     assert (d / "data.npz").exists()
     for f in ["log_E.pdf", "Ek_spectrum.pdf", "Ek_t.pdf", "phase_space_evolution.pdf", "x_dist.pdf", "v_dist.pdf", "cost.pdf"]:
@@ -54,6 +54,12 @@ class TestRunScripts:
     def test_run_feedback(self, tmp_path):
         run_script(tmp_path, "run_feedback.py", ["--max_mode", "2"])
         check_artifacts(tmp_path, "feedback")
+
+    def test_run_wo_oc_landau(self, tmp_path):
+        """The landau simcase works end-to-end through the CLI (density-
+        perturbed Maxwellian, no velocity perturbation, full artifact set)."""
+        run_script(tmp_path, "run_wo_oc.py", ["--simcase", "landau"])
+        check_artifacts(tmp_path, "wo-oc", controlled=False, simcase="landau")
 
     def test_run_mpc(self, tmp_path):
         run_script(

@@ -159,3 +159,65 @@ class TestLandauDamping:
         ts = jnp.linspace(0.0, cfg.t_max, cfg.n_steps + 1)
         gamma = float(damping_rate_from_field_energy(ts, out.field_energy))
         assert gamma < 0.0, f"expected Landau damping, got gamma={gamma}"
+
+
+class TestLandauCase:
+    """The new `landau` simcase (Maxwellian + density perturbation —
+    models/distributions.py::Maxwellian): sampling correctness and a
+    quantitative validation of the measured damping rate against the
+    analytic kinetic rate in simulation units
+    (diag/landau.py::landau_damping_rate_analytic_sim)."""
+
+    def test_maxwellian_sampling(self):
+        from plasma_control_tpu.models.distributions import Maxwellian
+
+        d = Maxwellian(vth=1.2, amplitude=0.3, mode=2, n_samples=200_000, length=50.0)
+        x, v = d.sample(jax.random.PRNGKey(0))
+        x, v = np.asarray(x), np.asarray(v)
+        assert ((x >= 0) & (x < 50.0)).all()
+        # x-density follows 1 + A cos(kx)
+        hist, edges = np.histogram(x, bins=50, range=(0, 50.0))
+        centers = 0.5 * (edges[1:] + edges[:-1])
+        expected = (1.0 + 0.3 * np.cos(2 * np.pi * 2 * centers / 50.0)) * len(x) / 50.0
+        np.testing.assert_allclose(hist, expected, rtol=0.06)
+        # thermal velocities, no drift
+        assert abs(np.mean(v)) < 0.02
+        np.testing.assert_allclose(np.std(v), 1.2, rtol=0.02)
+
+    def test_landau_damping_rate_matches_analytic(self):
+        """Mode-resolved log|E_k|^2 slope over t in [1, 9] matches the
+        analytic Landau rate at k lambda_D = 0.5 (the classic kinetic
+        benchmark, gamma = -0.153) — 3-seed mean within 35% (measured
+        -0.163 on the dev run; per-seed spread ~25% at N=20k)."""
+        from plasma_control_tpu.config import SimConfig
+        from plasma_control_tpu.diag.landau import (
+            damping_rate_from_field_energy,
+            landau_damping_rate_analytic_sim,
+        )
+        from plasma_control_tpu.models.pic import init_state
+        from plasma_control_tpu.models.rollout import rollout
+        from plasma_control_tpu.ops.deposit import deposit
+        from plasma_control_tpu.ops.fields import solve_e_mesh
+        from plasma_control_tpu.ops.grid import make_grid
+
+        cfg = SimConfig(simcase="landau", n_particles=20000, n_mesh=64, dt=0.1,
+                        t_max=12.0, length=50.0, vth=1.0,
+                        perturb_amplitude=0.2, perturb_mode=4)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        k = 2 * np.pi * cfg.perturb_mode / cfg.length
+        g_th = landau_damping_rate_analytic_sim(k, cfg.vth, cfg.n0)
+
+        fits = []
+        for seed in range(3):
+            st = init_state(cfg, jax.random.PRNGKey(seed))
+            out = rollout(st, grid, cfg, record_snapshots=True)
+            dens = jax.vmap(lambda x: deposit(x, grid, n0=cfg.n0))(out.xs)
+            e = solve_e_mesh(dens, grid, cfg.n0)
+            e2 = jnp.abs(jnp.fft.rfft(e, axis=-1)[:, cfg.perturb_mode]) ** 2
+            ts = jnp.linspace(0.0, cfg.t_max, e2.shape[0])
+            w = (ts >= 1.0) & (ts <= 9.0)
+            fits.append(float(damping_rate_from_field_energy(ts[w], e2[w])))
+
+        assert all(g < 0 for g in fits)  # every seed damps
+        mean_fit = float(np.mean(fits))
+        assert abs(mean_fit - g_th) / abs(g_th) < 0.35, (fits, g_th)
