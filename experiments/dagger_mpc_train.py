@@ -7,7 +7,9 @@ Saves the best actor to artifacts/dagger_mpc_actor.msgpack and evaluates it
 closed-loop on the landscape seeds (two-stream N=2000/M=64, tail = last 50
 steps) — comparable to the DEVNOTES controller-landscape table.
 
-Run: python /root/repo/experiments/dagger_mpc_train.py [n_iters]
+Run: python /root/repo/experiments/dagger_mpc_train.py [n_iters] [encoder]
+``encoder``: "deepsets" (reference ParticleEncoder) or "spectral" (per-mode
+phase-space moments, networks.SpectralEncoder — built for this distillation).
 Measured results are recorded in DEVNOTES.md.
 """
 
@@ -35,6 +37,7 @@ if __name__ == "__main__":
     from plasma_control_tpu.ops.grid import make_grid
 
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    encoder = sys.argv[2] if len(sys.argv) > 2 else "deepsets"
 
     cfg = SimConfig(n_particles=2000, n_mesh=64, dt=0.1, t_max=25.0, length=50.0)
     ctrl = ControlConfig(max_mode=3)
@@ -43,13 +46,15 @@ if __name__ == "__main__":
 
     mpc_exp = MPCConfig(horizon=8, n_candidates=64)
     nets, params, hist = dagger_train(
-        cfg, ctrl, DDPGConfig(), grid, act, jax.random.PRNGKey(7),
+        cfg, ctrl, DDPGConfig(encoder=encoder), grid, act, jax.random.PRNGKey(7),
         n_iters=n_iters, epochs_per_iter=400, mpc=mpc_exp,
     )
+    print("encoder:", encoder, flush=True)
     print("pe_tail per iter:", [round(p, 1) for p in hist["pe_tail"]], flush=True)
 
+    suffix = "" if encoder == "deepsets" else f"_{encoder}"
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "artifacts", "dagger_mpc_actor.msgpack")
+                       "artifacts", f"dagger_mpc_actor{suffix}.msgpack")
     save_params(out, params)
     print("saved", out, flush=True)
 

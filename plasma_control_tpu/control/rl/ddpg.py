@@ -72,6 +72,14 @@ class DDPGConfig:
     # workloads, see Reward.compute_reward_shaped); "shaped" = scale-free
     # smooth alternative (new capability).
     reward_shape: str = "reference"
+    # Actor state encoder: "deepsets" = the reference's ParticleEncoder
+    # (`encode.py:4-38`); "spectral" = per-mode phase-space moments
+    # (networks.SpectralEncoder, new capability) — the sufficient statistics
+    # of the low-mode wave dynamics, built for distilling the MPC planner
+    # (the DeepSets mean-pool loses the phase precision the control law
+    # needs; DEVNOTES RL findings).
+    encoder: str = "deepsets"
+    encoder_modes: int = 8
 
 
 class DDPGState(NamedTuple):
@@ -95,13 +103,25 @@ class _Nets(NamedTuple):
 def make_ddpg(cfg: SimConfig, ctrl: ControlConfig, hp: DDPGConfig, key: jax.Array):
     """Build networks, params and optimizer states (6 networks + 3 Adams,
     parity with `/root/reference/run_ddpg.py:135-186`)."""
-    actor = DDPGActor(
-        mlp_dim=hp.mlp_dim,
-        n_actions=ctrl.n_actions,
-        output_min=hp.output_min,
-        output_max=hp.output_max,
-        length=cfg.length,
-    )
+    if hp.encoder == "spectral":
+        from .networks import SpectralActor
+
+        actor = SpectralActor(
+            mlp_dim=hp.mlp_dim,
+            n_actions=ctrl.n_actions,
+            n_modes=hp.encoder_modes,
+            output_min=hp.output_min,
+            output_max=hp.output_max,
+            length=cfg.length,
+        )
+    else:
+        actor = DDPGActor(
+            mlp_dim=hp.mlp_dim,
+            n_actions=ctrl.n_actions,
+            output_min=hp.output_min,
+            output_max=hp.output_max,
+            length=cfg.length,
+        )
     critic = DDPGCritic(mlp_dim=hp.mlp_dim, length=cfg.length)
     dummy_s = jnp.zeros((1, 2 * cfg.n_particles))
     dummy_a = jnp.zeros((1, ctrl.n_actions))

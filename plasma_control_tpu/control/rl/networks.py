@@ -27,7 +27,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ParticleEncoder", "DDPGActor", "DDPGCritic", "PPOActorCritic", "SACActor", "SACCritic"]
+__all__ = [
+    "ParticleEncoder",
+    "SpectralEncoder",
+    "DDPGActor",
+    "SpectralActor",
+    "DDPGCritic",
+    "PPOActorCritic",
+    "SACActor",
+    "SACCritic",
+]
 
 
 def _rescale(y: jax.Array, lo: float, hi: float) -> jax.Array:
@@ -56,6 +65,72 @@ class ParticleEncoder(nn.Module):
         z = nn.Dense(self.output_dim)(z)
         z = nn.LayerNorm()(z)
         return nn.relu(z)
+
+
+class SpectralEncoder(nn.Module):
+    """Physics-informed permutation-invariant encoder (NEW capability, no
+    reference analogue): the per-mode phase-space moments
+
+        c_m = mean cos(k_m x),  s_m = mean sin(k_m x)          (density)
+        vc_m = mean v cos(k_m x),  vs_m = mean v sin(k_m x)    (current)
+
+    for m = 1..n_modes, plus the bulk moments (mean v, mean v^2). These are
+    exactly the sufficient statistics of the low-mode wave dynamics the MPC
+    planner controls (the phase-conjugate expert is literally a function of
+    (c_m, s_m), `/root/reference/run_feedback.py:130-143`; the spectral
+    planning model evolves these same sums) — unlike the DeepSets mean-pool
+    (`encode.py:27-38`), no phase information is lost, and the feature
+    dimension is 4*n_modes + 2 instead of a learned pooling over 2N inputs.
+    Built with the same angle-addition recurrence as the spectral planner.
+    """
+
+    n_modes: int = 8
+    length: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = x.shape[-1] // 2
+        q, p = x[..., :n], x[..., n:]
+        ang = q * (2.0 * jnp.pi / self.length)
+        c1, s1 = jnp.cos(ang), jnp.sin(ang)
+        feats = []
+        c_prev, s_prev = c1, s1
+        for m in range(self.n_modes):
+            if m > 0:
+                c_next = c_prev * c1 - s_prev * s1
+                s_next = s_prev * c1 + c_prev * s1
+                c_prev, s_prev = c_next, s_next
+            feats += [
+                jnp.mean(c_prev, axis=-1),
+                jnp.mean(s_prev, axis=-1),
+                jnp.mean(p * c_prev, axis=-1),
+                jnp.mean(p * s_prev, axis=-1),
+            ]
+        feats += [jnp.mean(p, axis=-1), jnp.mean(p * p, axis=-1)]
+        return jnp.stack(feats, axis=-1)  # (..., 4*n_modes + 2)
+
+
+class SpectralActor(nn.Module):
+    """Deterministic actor over :class:`SpectralEncoder` features — the
+    amortized-MPC distillation target (``DDPGConfig.encoder="spectral"``).
+    Same ``sample`` interface/action rescale as :class:`DDPGActor`."""
+
+    mlp_dim: int
+    n_actions: int
+    n_modes: int = 8
+    output_min: float = -1.0
+    output_max: float = 1.0
+    length: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        z = SpectralEncoder(self.n_modes, self.length)(x)
+        z = _LNTrunk(self.mlp_dim)(z)
+        return jnp.tanh(nn.Dense(self.n_actions)(z))
+
+    def sample(self, params, x):
+        mu = self.apply(params, x)
+        return _rescale(mu, self.output_min, self.output_max)
 
 
 class _LNTrunk(nn.Module):

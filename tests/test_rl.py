@@ -324,3 +324,38 @@ class TestDAgger:
         # "Array has been deleted" on save after an 8-iter run)
         leaves = jax.tree_util.tree_leaves(params)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+class TestSpectralActor:
+    def test_permutation_invariance_and_bounds(self):
+        from plasma_control_tpu.control.rl.networks import SpectralActor
+
+        actor = SpectralActor(mlp_dim=16, n_actions=4, n_modes=4, length=50.0)
+        n = 64
+        key = jax.random.PRNGKey(0)
+        x = jnp.concatenate([
+            jax.random.uniform(key, (n,)) * 50.0,
+            jax.random.normal(jax.random.PRNGKey(1), (n,)),
+        ])[None]
+        params = actor.init(jax.random.PRNGKey(2), x)
+        a = actor.sample(params, x)
+        perm = jax.random.permutation(jax.random.PRNGKey(3), n)
+        x_perm = jnp.concatenate([x[0, :n][perm], x[0, n:][perm]])[None]
+        a_perm = actor.sample(params, x_perm)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(a_perm), rtol=1e-5, atol=1e-6)
+        assert np.isfinite(np.asarray(a)).all()
+        assert (np.abs(np.asarray(a)) <= 1.0 + 1e-6).all()
+
+    def test_dagger_with_spectral_encoder_runs(self):
+        """DAgger with the spectral actor (DDPGConfig.encoder='spectral')."""
+        from plasma_control_tpu.control.rl.dagger import dagger_train
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig
+
+        cfg, ctrl, grid, act = tiny()
+        hp = DDPGConfig(mlp_dim=16, encoder="spectral", encoder_modes=4)
+        nets, params, hist = dagger_train(
+            cfg, ctrl, hp, grid, act, jax.random.PRNGKey(0),
+            n_iters=2, epochs_per_iter=20, verbose=False,
+        )
+        assert np.isfinite(hist["bc_loss"]).all()
+        assert np.isfinite(hist["pe_tail"]).all()
