@@ -26,6 +26,10 @@ def main():
     p.add_argument("--dagger_mpc", action="store_true",
                    help="also train + evaluate a policy distilled from the MPC "
                         "expert (amortized MPC, control/rl/dagger.py)")
+    p.add_argument("--dagger_encoder", default="spectral",
+                   choices=["deepsets", "spectral"],
+                   help="actor encoder for --dagger_mpc (spectral phase-space "
+                        "moments measured 2.1x better than DeepSets, DEVNOTES)")
     args = p.parse_args()
 
     import jax
@@ -75,12 +79,12 @@ def main():
 
         mpc_exp = MPCConfig(horizon=8, n_candidates=64)
         nets_d, params_d, hist = dagger_train(
-            cfg, ctrl, DDPGConfig(), grid, act, jax.random.PRNGKey(7),
-            n_iters=4, epochs_per_iter=300, mpc=mpc_exp,
+            cfg, ctrl, DDPGConfig(encoder=args.dagger_encoder), grid, act,
+            jax.random.PRNGKey(7), n_iters=4, epochs_per_iter=300, mpc=mpc_exp,
         )
         fn_d = lambda s: nets_d.actor.sample(params_d, s[None])[0]
         rows.append((
-            "dagger(mpc expert, 4 iters)",
+            f"dagger(mpc expert, 4 iters, {args.dagger_encoder})",
             [tail(policy_rollout(st, grid, cfg, act, fn_d, record_snapshots=False).field_energy)
              for st in states],
         ))

@@ -38,18 +38,19 @@ if __name__ == "__main__":
 
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     encoder = sys.argv[2] if len(sys.argv) > 2 else "deepsets"
+    expert_k = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 
     cfg = SimConfig(n_particles=2000, n_mesh=64, dt=0.1, t_max=25.0, length=50.0)
     ctrl = ControlConfig(max_mode=3)
     grid = make_grid(cfg.n_mesh, cfg.length)
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
 
-    mpc_exp = MPCConfig(horizon=8, n_candidates=64)
+    mpc_exp = MPCConfig(horizon=8, n_candidates=expert_k)
     nets, params, hist = dagger_train(
         cfg, ctrl, DDPGConfig(encoder=encoder), grid, act, jax.random.PRNGKey(7),
         n_iters=n_iters, epochs_per_iter=400, mpc=mpc_exp,
     )
-    print("encoder:", encoder, flush=True)
+    print("encoder:", encoder, "expert_k:", expert_k, flush=True)
     print("pe_tail per iter:", [round(p, 1) for p in hist["pe_tail"]], flush=True)
 
     suffix = "" if encoder == "deepsets" else f"_{encoder}"
