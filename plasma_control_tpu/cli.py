@@ -103,6 +103,17 @@ def add_mpc_args(p: argparse.ArgumentParser):
                         "field energy (value-function tail estimate; lets "
                         "shorter horizons rank like long ones down to H~5-6 — "
                         "experiments/horizon_study.py). 0 = off")
+    p.add_argument("--terminal_mode", type=str, default="const",
+                   choices=["const", "growth"],
+                   help="terminal tail estimator: 'const' = flat --w_terminal "
+                        "weight; 'growth' = per-candidate geometric "
+                        "extrapolation of --terminal_steps more running-cost "
+                        "steps at the candidate's own measured end-of-horizon "
+                        "PE growth ratio (penalizes 'low but growing' endings)")
+    p.add_argument("--terminal_steps", type=int, default=4,
+                   help="tail length of the 'growth' extrapolation in "
+                        "planning steps (e.g. 4 when planning H=6 to rank "
+                        "like H=10)")
     p.add_argument("--no_antithetic", action="store_true",
                    help="disable mirrored-pair (antithetic) candidate sampling")
     return p
@@ -158,6 +169,8 @@ def build_mpc_config(args: dict) -> MPCConfig:
         plan_model=args.get("plan_model", "spectral"),
         plan_modes=args.get("plan_modes", 16),
         w_terminal=args.get("w_terminal", 0.0),
+        terminal_mode=args.get("terminal_mode", "const"),
+        terminal_steps=args.get("terminal_steps", 4),
         antithetic=not args.get("no_antithetic", False),
     )
 

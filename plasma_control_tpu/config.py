@@ -205,6 +205,26 @@ class MPCConfig:
     # like long ones — quality-vs-horizon measurements live in
     # experiments/horizon_study.py. 0 disables (pure running cost).
     w_terminal: float = 0.0
+    # Terminal tail ESTIMATOR. "const" = the flat w_terminal weight above.
+    # "growth" = per-candidate geometric extrapolation: measure each
+    # candidate's own end-of-horizon PE growth ratio r = PE_H / PE_{H-1}
+    # (clipped to [0.7, 1.3] against step-to-step noise) and charge the
+    # extrapolated running cost of terminal_steps more planning steps,
+    #     tail = w_field * PE_H * sum_{i=1..T} r^i = w_field*PE_H*r(1-r^T)/(1-r).
+    # Unlike the constant weight, this distinguishes a candidate that leaves
+    # the field LOW BUT GROWING (r > 1: penalized up to ~2x per tail step)
+    # from one that leaves it low and damped (r < 1: tail nearly free) —
+    # exactly the information a short horizon truncates away. Composes with
+    # w_terminal (both added); requires horizon >= 2 (degrades to "const"
+    # otherwise). Rollout cost unchanged: the per-step PEs are already
+    # computed on every planning path. Quality-vs-horizon measurements:
+    # experiments/horizon_study.py + bench_fidelity_study.py, DEVNOTES.
+    terminal_mode: Literal["const", "growth"] = "const"
+    # Tail length T of the "growth" extrapolation, in planning steps: how
+    # many post-horizon steps of running cost the estimator charges. Natural
+    # setting: (reference horizon) - horizon, e.g. 4 when planning with H=6
+    # to rank like H=10.
+    terminal_steps: int = 4
     # Antithetic variates: sample K/2 perturbations and mirror them
     # (eps, -eps). Within a pair the odd terms of the local cost expansion
     # cancel, so elite selection / MPPI weighting responds to curvature

@@ -305,6 +305,33 @@ def _finite_or_huge(total: jax.Array) -> jax.Array:
     return jnp.where(jnp.isfinite(total), total, jnp.asarray(3.4e38, total.dtype))
 
 
+def _add_terminal(total: jax.Array, pes: jax.Array, mpc: MPCConfig) -> jax.Array:
+    """Add the configured terminal tail cost. ``pes``: (..., H) planning PE.
+
+    ``terminal_mode="const"``: ``w_terminal * PE_H`` (flat weight).
+    ``"growth"``: per-candidate geometric extrapolation — charge
+    ``terminal_steps`` more steps of running field cost at the candidate's
+    own measured end-of-horizon growth ratio ``r = PE_H / PE_{H-1}``
+    (clipped; see :class:`MPCConfig`). The two compose (both added);
+    no-op when neither is active. Works on every planning path: the
+    per-step PEs are already computed, so the tail estimate is free.
+    """
+    pe_h = pes[..., -1]
+    if mpc.terminal_mode == "growth" and pes.shape[-1] >= 2:
+        r = jnp.clip(pes[..., -1] / (pes[..., -2] + 1e-30), 0.7, 1.3)
+        t = int(mpc.terminal_steps)
+        # sum_{i=1..T} r^i, guarded at the removable r=1 singularity
+        geom = jnp.where(
+            jnp.abs(r - 1.0) < 1e-6,
+            jnp.asarray(float(t), r.dtype),
+            r * (1.0 - r**t) / jnp.where(jnp.abs(1.0 - r) < 1e-6, 1.0, 1.0 - r),
+        )
+        total = total + mpc.w_field * pe_h * geom
+    if mpc.w_terminal:
+        total = total + mpc.w_terminal * pe_h
+    return total
+
+
 def _horizon_cost_kdk(
     state: PlasmaState,
     coeff_seq: jax.Array,  # (H, 2K)
@@ -379,9 +406,7 @@ def _horizon_cost_kdk(
     _, kick0 = fields_and_kick(state.x, e_ext_seq[0])
     vh0 = state.v + 0.5 * dt * kick0(1.0)
     _, (costs, pes) = jax.lax.scan(body, (state.x, vh0), (e_pair_seq, coeff_seq))
-    total = jnp.sum(costs)
-    if mpc.w_terminal:
-        total = total + mpc.w_terminal * pes[-1]
+    total = _add_terminal(jnp.sum(costs), pes, mpc)
     return _finite_or_huge(total)
 
 
@@ -527,9 +552,7 @@ def _horizon_cost_spectral(
     ps0 = -(g * c0) + u_s[0]
     vh0 = state.v + 0.5 * dt * (-_mode_eval(c1_0, s1_0, pc0, ps0))
     _, (costs, pes) = jax.lax.scan(body, (state.x, vh0), (pair_c, pair_s, coeff_seq))
-    total = jnp.sum(costs)
-    if mpc.w_terminal:
-        total = total + mpc.w_terminal * pes[-1]
+    total = _add_terminal(jnp.sum(costs), pes, mpc)
     return _finite_or_huge(total)
 
 
@@ -557,9 +580,7 @@ def _horizon_cost(
         return new, (c, pe)
 
     _, (costs, pes) = jax.lax.scan(body, state, coeff_seq)
-    total = jnp.sum(costs)
-    if mpc.w_terminal:
-        total = total + mpc.w_terminal * pes[-1]
+    total = _add_terminal(jnp.sum(costs), pes, mpc)
     return _finite_or_huge(total)
 
 
@@ -592,9 +613,7 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
             interpret=jax.default_backend() != "tpu",
         )  # (K, H) exact post-drift spectral-model PE
         ie = actuator.input_energy(coeff_seqs)  # (K, H)
-        total = jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1)
-        if mpc.w_terminal:
-            total = total + mpc.w_terminal * pe[:, -1]
+        total = _add_terminal(jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1), pe, mpc)
         return _finite_or_huge(total)
     if (
         mpc.plan_model == "grid"
@@ -614,9 +633,7 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
         )  # (K, H) exact post-step PE
         pe = pe * (cfg.n_particles / cfg.length)  # electric_energy rescale
         ie = actuator.input_energy(coeff_seqs)  # (K, H)
-        total = jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1)
-        if mpc.w_terminal:
-            total = total + mpc.w_terminal * pe[:, -1]
+        total = _add_terminal(jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1), pe, mpc)
         return _finite_or_huge(total)
     return jax.vmap(lambda u: _horizon_cost(state, u, grid, cfg, mpc, actuator))(coeff_seqs)
 
@@ -636,10 +653,7 @@ def _gradient_refine(state, mean, grid, cfg, ctrl, mpc, actuator):
             return new, (mpc.w_field * pe + mpc.w_input * actuator.input_energy(ut), pe)
 
         _, (costs, pes) = jax.lax.scan(body, state, u)
-        total = jnp.sum(costs)
-        if mpc.w_terminal:
-            total = total + mpc.w_terminal * pes[-1]
-        return total
+        return _add_terminal(jnp.sum(costs), pes, mpc)
 
     import optax
 

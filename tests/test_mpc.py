@@ -412,6 +412,96 @@ class TestTerminalCost:
         assert (pe_h > 0).all()  # field energy is positive
         np.testing.assert_allclose(c3 - c0, 3.0 * pe_h, rtol=2e-4, atol=1e-6)
 
+    def test_growth_terminal_formula(self):
+        """_add_terminal("growth") charges exactly sum_{i=1..T} PE_H * r^i with
+        r = clip(PE_H/PE_{H-1}, 0.7, 1.3), incl. the r=1 singular point."""
+        from plasma_control_tpu.config import MPCConfig
+        from plasma_control_tpu.control.mpc import _add_terminal
+
+        t = 4
+        mpc = MPCConfig(terminal_mode="growth", terminal_steps=t, w_field=2.0)
+        total = jnp.zeros(())
+
+        def tail(pe_prev, pe_h):
+            pes = jnp.array([1.0, pe_prev, pe_h])
+            return float(_add_terminal(total, pes, mpc))
+
+        # decaying: r clipped up to 0.7
+        r = 0.7
+        np.testing.assert_allclose(
+            tail(4.0, 2.0), 2.0 * 2.0 * sum(r**i for i in range(1, t + 1)), rtol=1e-6)
+        # growing: r clipped down to 1.3
+        r = 1.3
+        np.testing.assert_allclose(
+            tail(2.0, 2.6), 2.0 * 2.6 * sum(r**i for i in range(1, t + 1)), rtol=1e-6)
+        # interior ratio
+        r = 0.9
+        np.testing.assert_allclose(
+            tail(2.0, 1.8), 2.0 * 1.8 * sum(r**i for i in range(1, t + 1)), rtol=1e-6)
+        # flat: removable singularity -> exactly T more steps of PE_H
+        np.testing.assert_allclose(tail(2.0, 2.0), 2.0 * 2.0 * t, rtol=1e-6)
+        # growing tail costs more than a decaying one at the SAME PE_H
+        assert tail(1.5, 2.0) > tail(3.0, 2.0)
+        # composes with the const weight
+        mpc2 = MPCConfig(terminal_mode="growth", terminal_steps=t, w_field=2.0,
+                         w_terminal=5.0)
+        np.testing.assert_allclose(
+            float(_add_terminal(total, jnp.array([1.0, 2.0, 2.0]), mpc2)),
+            2.0 * 2.0 * t + 5.0 * 2.0, rtol=1e-6)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(plan_model="spectral"),
+            dict(plan_model="spectral", plan_kernel="fused"),
+            dict(plan_model="grid", plan_integrator="kdk"),
+        ],
+        ids=["spectral", "spectral-fused", "kdk"],
+    )
+    def test_growth_terminal_consistent_across_paths(self, kw):
+        """On every planner path, the growth tail added on top of the plain
+        cost equals w_field * PE_H * geom(r) reconstructed from the per-step
+        PEs that the w_terminal linearity trick exposes."""
+        cfg = tiny_cfg(n_particles=512)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        h, t = 4, 5
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, h, 4))
+
+        def costs(**extra):
+            mpc = MPCConfig(horizon=h, n_candidates=8, plan_modes=4, **kw, **extra)
+            return np.asarray(candidate_costs(st, cand, grid, cfg, mpc, act))
+
+        c0 = costs()
+        pe_h = costs(w_terminal=1.0) - c0
+        # PE_{H-1}: the first h-1 planning steps are identical dynamics
+        ch0 = np.asarray(candidate_costs(
+            st, cand[:, : h - 1], grid, cfg,
+            MPCConfig(horizon=h - 1, n_candidates=8, plan_modes=4, **kw), act))
+        ch1 = np.asarray(candidate_costs(
+            st, cand[:, : h - 1], grid, cfg,
+            MPCConfig(horizon=h - 1, n_candidates=8, plan_modes=4, w_terminal=1.0, **kw), act))
+        pe_hm1 = ch1 - ch0
+        r = np.clip(pe_h / (pe_hm1 + 1e-30), 0.7, 1.3)
+        geom = r * (1.0 - r**t) / (1.0 - r)
+        cg = costs(terminal_mode="growth", terminal_steps=t)
+        np.testing.assert_allclose(cg - c0, pe_h * geom, rtol=2e-3, atol=1e-5)
+
+    def test_growth_terminal_closed_loop_suppresses(self):
+        """Short horizon + growth tail estimator suppresses the instability
+        (bench-scale quality gate: experiments/bench_fidelity_study.py)."""
+        cfg = tiny_cfg(t_max=8.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        mpc = MPCConfig(horizon=4, n_candidates=32,
+                        terminal_mode="growth", terminal_steps=6)
+        out = mpc_rollout(st, grid, cfg, CTRL, mpc, act, jax.random.PRNGKey(1))
+        un = rollout(st, grid, cfg)
+        assert np.isfinite(np.asarray(out.field_energy)).all()
+        assert float(jnp.mean(out.field_energy[-20:])) < float(jnp.mean(un.field_energy[-20:]))
+
     def test_terminal_cost_closed_loop_suppresses(self):
         """Short horizon + terminal tail cost still suppresses the
         instability (quality-vs-horizon study: experiments/horizon_study.py)."""
