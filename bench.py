@@ -4,12 +4,19 @@ Headline: full-horizon MPC solves/s on one chip (BASELINE.json config 3:
 bump-on-tail, 4 Fourier control modes, 512 sampled rollouts per solve,
 reference default workload N=5000 particles / 250 cells). The solve is the
 framework's QUALITY-VALIDATED default for this case: gridless spectral
-candidate dynamics at FULL particle fidelity, plan_modes=8, horizon 8,
-knot-sampled antithetic candidates. Quality gates (closed-loop, bench
-scale, seed-paired — experiments/bench_fidelity_study.py +
-bot_bench_scale_debug.py, DEVNOTES 2026-08-19): this config suppresses
-bump-on-tail tail PE to ~11-14 vs ~20-27 uncontrolled (best measured) and
-two-stream 1000+ -> 21-34, matching H=10/Km=16 within noise. Earlier
+candidate dynamics at FULL particle fidelity, plan_modes=8, horizon 6 with
+a terminal tail cost (w_terminal=4: the solve charges 4 more steps of the
+final planning-model field energy — a value-function tail estimate that
+lets H=6 rank candidates like H=10), knot-sampled antithetic candidates.
+Quality gates (closed-loop, bench scale, seed-paired —
+experiments/bench_growth_study.py + bench_fidelity_study.py +
+bot_bench_scale_debug.py, DEVNOTES 2026-08-20): this config suppresses
+bump-on-tail tail PE to 13.4 vs 13.2 for the previous H=8 default
+(uncontrolled ~24) and two-stream 1063 -> 25.8 vs 26.2 — seed-paired equal
+on both cases at 8/6 = 1.33x less planning work. Shorter horizons fail the
+two-stream gate (H5: 36.0, H4: 44.7), and the per-candidate growth tail
+estimator that wins at small K is noise-dominated at K=512/Km=8
+(experiments/growth_terminal_study.py has the small-K story). Earlier
 rounds benched a particle-subsampled planning model (plan 1024 of 5000,
 ~2x faster, "1021 solves/s") — measurably harmful on this workload (the
 planner cancels subsample noise that doesn't exist in the real plasma and
@@ -135,10 +142,11 @@ def main():
     ctrl = ControlConfig(max_mode=4)
     # Full-fidelity planning (candidate rollouts over all N particles):
     # particle subsampling is measurably harmful on this quiet workload (see
-    # module docstring / DEVNOTES). H=8 and plan_modes=8 are quality-equal
-    # to H=10/Km=16 (seed-paired gates). The CPU baseline below is measured
+    # module docstring / DEVNOTES). H=6 + w_terminal=4 and plan_modes=8 are
+    # quality-equal to H=8/Km=8 and H=10/Km=16 (seed-paired gates:
+    # experiments/bench_growth_study.py). The CPU baseline below is measured
     # at the SAME full shapes so vs_baseline compares equal work.
-    mpc = MPCConfig(horizon=8, n_candidates=512, plan_modes=8)
+    mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=512, plan_modes=8)
     grid = make_grid(cfg.n_mesh, cfg.length)
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     state = init_state(cfg, jax.random.PRNGKey(0))

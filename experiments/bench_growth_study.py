@@ -14,7 +14,43 @@ and H6 + const w_terminal=4 as the estimator ablation.
 
 Run: python /root/repo/experiments/bench_growth_study.py [n_seeds]
 
-Result: (run pending — numbers are recorded here after the measurement.)
+Result (3 paired seeds, TPU v5e 2026-08-20; tail PE = mean over the last
+100 steps, IE = mean input energy):
+
+    bump-on-tail uncontrolled            mean 23.8
+    bump-on-tail H8.Km8 (bench default)  mean 13.2  IE 10.1
+    bump-on-tail H6.g4.Km8               mean 19.5  IE 15.6
+    bump-on-tail H5.g5.Km8               mean 14.9  IE 14.8
+    bump-on-tail H6.w4.Km8 (const)       mean 13.4  IE 12.8   <- = H8
+    two-stream   uncontrolled            mean 1063.0
+    two-stream   H8.Km8 (bench default)  mean 26.2  IE 37.4
+    two-stream   H6.g4.Km8               mean 36.5  IE 39.9
+    two-stream   H5.g5.Km8               mean 42.4  IE 42.2
+    two-stream   H6.w4.Km8 (const)       mean 25.8  IE 40.4   <- = H8
+
+Follow-up probe — const estimator at H5/H4 (same harness/seeds, 2026-08-20):
+
+    bump-on-tail H5.w5.Km8               mean 10.8  IE 11.8   <- beats H8!
+    bump-on-tail H4.w6.Km8               mean  9.3  IE  9.4   <- beats H8!
+    two-stream   H5.w5.Km8               mean 36.0  IE 45.7   <- FAILS (37%)
+    two-stream   H4.w6.Km8               mean 44.7  IE 48.7   <- FAILS (71%)
+
+On the quiet bump-on-tail, shorter horizons with a strong flat tail weight
+are MORE conservative (drive only when clearly profitable) and win; but the
+growing two-stream needs the horizon to see the instability develop, and
+H<=5 loses reliably there.
+
+Verdict: at bench scale the CONST estimator wins — H6.w4 is seed-paired
+equal to the H8 default on BOTH cases (13.4/25.8 vs 13.2/26.2) and moves
+the headline ~8/6 = 1.33x. The growth estimator, which dominated at the
+small config (K=64, max_mode=3, Km=16), FAILS here (two-stream 36-42 vs
+26): with K=512 near-duplicate elite candidates and only Km=8 modes the
+end-of-horizon PE ratio is dominated by oscillatory/model noise, and the
+geometric tail (up to ~3x spread between the clip bounds) injects more
+cost variance between near-equal candidates than the information it adds.
+terminal_mode="growth" stays the right tool for small-K, well-resolved
+planning (growth_terminal_study.py); the bench default moves to H6 + the
+flat weight.
 """
 
 import os

@@ -217,8 +217,16 @@ class MPCConfig:
     # exactly the information a short horizon truncates away. Composes with
     # w_terminal (both added); requires horizon >= 2 (degrades to "const"
     # otherwise). Rollout cost unchanged: the per-step PEs are already
-    # computed on every planning path. Quality-vs-horizon measurements:
-    # experiments/horizon_study.py + bench_fidelity_study.py, DEVNOTES.
+    # computed on every planning path.
+    # WHEN TO USE WHICH (measured, 2026-08-20): "growth" dominates at
+    # small-K well-resolved planning (K=64/Km=16: it fully recovers H=5
+    # where the flat weight plateaus, and halves the H=4 penalty —
+    # experiments/growth_terminal_study.py); at bench scale (K=512/Km=8)
+    # the flat weight is MORE robust (the end-of-horizon ratio between
+    # near-duplicate elites is noise-dominated and the geometric tail
+    # injects cost variance: two-stream 36-42 vs 26 tail PE —
+    # experiments/bench_growth_study.py). Keep terminal_steps ~ horizon;
+    # much longer tails compound extrapolation noise geometrically.
     terminal_mode: Literal["const", "growth"] = "const"
     # Tail length T of the "growth" extrapolation, in planning steps: how
     # many post-horizon steps of running cost the estimator charges. Natural
