@@ -85,10 +85,12 @@ def config3():
     from plasma_control_tpu.ops.grid import make_grid
 
     # Quality-validated full-fidelity planning config (bench.py headline;
-    # subsampled planning pumps this quiet case — DEVNOTES 2026-08-19).
+    # subsampled planning pumps this quiet case — DEVNOTES 2026-08-19;
+    # H=6 + w_terminal=4 seed-paired equal to H=8 on both cases —
+    # experiments/bench_growth_study.py, 2026-08-20).
     cfg = SimConfig(simcase="bump-on-tail", n_particles=5000, n_mesh=250, dt=0.1)
     ctrl = ControlConfig(max_mode=4)
-    mpc = MPCConfig(horizon=8, n_candidates=512, plan_modes=8)
+    mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=512, plan_modes=8)
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     st = init_state(cfg, jax.random.PRNGKey(0))
