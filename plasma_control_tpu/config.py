@@ -243,6 +243,27 @@ class MPCConfig:
     # 4 seeds) — experiments/sampler_quality.py.
     antithetic: bool = True
 
+    def __post_init__(self):
+        if self.terminal_steps < 0:
+            # a negative tail length flips the geometric series' sign and
+            # silently turns the "growth" tail into a cost CREDIT that
+            # rewards growing candidates (r(1-r^t)/(1-r) < 0 for t < 0)
+            raise ValueError(
+                f"terminal_steps must be >= 0, got {self.terminal_steps}"
+            )
+        if self.terminal_mode == "growth" and self.horizon < 2:
+            import warnings
+
+            # the growth ratio PE_H/PE_{H-1} needs two horizon steps; with
+            # H < 2 the tail silently becomes a no-op (NOT the "const" mode
+            # — that one also needs w_terminal > 0 to do anything)
+            warnings.warn(
+                "terminal_mode='growth' needs horizon >= 2; the growth tail "
+                "is a no-op at this horizon (set w_terminal for a constant "
+                "terminal cost instead)",
+                stacklevel=2,
+            )
+
 
 def preset(name: str, **overrides) -> SimConfig:
     """Named presets matching the reference scripts' defaults."""

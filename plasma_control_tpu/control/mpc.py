@@ -42,25 +42,43 @@ __all__ = [
 ]
 
 
-def _plan_model(state: PlasmaState, grid: Grid, cfg: SimConfig, mpc: MPCConfig):
-    """Reduced planning model (multi-fidelity MPC).
+def _reduced_model(grid: Grid, cfg: SimConfig, mpc: MPCConfig, dtype=jnp.float32):
+    """Static half of the multi-fidelity reduction: (plan_grid, plan_cfg).
 
-    Subsamples particles with a stride (preserving the beam-ordering mixture
-    proportions of the initial distributions, `dist.py:78-97,160-183`) and
-    optionally coarsens the mesh. Returns (plan_state, plan_grid, plan_cfg).
+    Shape-only — computable once per configuration (no state involved), so
+    sharded-planner factories (:mod:`plasma_control_tpu.parallel.pic_shard`)
+    can build their cost closures ahead of the per-solve path.
     """
     plan_cfg = cfg
     plan_grid = grid
-    plan_state = state
     if mpc.plan_particles is not None and mpc.plan_particles < cfg.n_particles:
         stride = max(1, cfg.n_particles // mpc.plan_particles)
-        plan_state = PlasmaState(state.x[::stride], state.v[::stride])
         n_eff = -(-cfg.n_particles // stride)
         plan_cfg = dataclasses.replace(plan_cfg, n_particles=n_eff)
     if mpc.plan_mesh is not None and mpc.plan_mesh < cfg.n_mesh:
         plan_cfg = dataclasses.replace(plan_cfg, n_mesh=mpc.plan_mesh)
-        plan_grid = _grid_cache(mpc.plan_mesh, cfg.length, state.x.dtype)
-    return plan_state, plan_grid, plan_cfg
+        plan_grid = _grid_cache(mpc.plan_mesh, cfg.length, dtype)
+    return plan_grid, plan_cfg
+
+
+def _reduce_state(state: PlasmaState, cfg: SimConfig, mpc: MPCConfig) -> PlasmaState:
+    """Dynamic half of the reduction: strided particle subsample (preserving
+    the beam-ordering mixture proportions of the initial distributions,
+    `dist.py:78-97,160-183`)."""
+    if mpc.plan_particles is not None and mpc.plan_particles < cfg.n_particles:
+        stride = max(1, cfg.n_particles // mpc.plan_particles)
+        return PlasmaState(state.x[::stride], state.v[::stride])
+    return state
+
+
+def _plan_model(state: PlasmaState, grid: Grid, cfg: SimConfig, mpc: MPCConfig):
+    """Reduced planning model (multi-fidelity MPC).
+
+    Subsamples particles with a stride and optionally coarsens the mesh.
+    Returns (plan_state, plan_grid, plan_cfg).
+    """
+    plan_grid, plan_cfg = _reduced_model(grid, cfg, mpc, state.x.dtype)
+    return _reduce_state(state, cfg, mpc), plan_grid, plan_cfg
 
 
 def plan_fidelity_check(
@@ -673,47 +691,30 @@ def _gradient_refine(state, mean, grid, cfg, ctrl, mpc, actuator):
     return jnp.where(better, refined, mean)
 
 
-@partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc", "candidate_sharding"))
-def plan(
+def _plan_impl(
     state: PlasmaState,
-    mean: jax.Array,  # (H, 2K) warm-started nominal sequence
-    sigma: jax.Array,  # (H, 2K) or scalar sampling stddev
+    mean: jax.Array,
+    sigma: jax.Array,
     key: jax.Array,
     grid: Grid,
     cfg: SimConfig,
     ctrl: ControlConfig,
     mpc: MPCConfig,
     actuator: FourierActuator,
+    costs_fn,
     candidate_sharding=None,
 ):
-    """One MPC solve. Returns (first_action, new_mean, best_cost).
+    """Full-featured MPC solve body over an injectable candidate scorer.
 
-    ``candidate_sharding``: optional ``NamedSharding`` (e.g. over a
-    ``"rollout"`` mesh axis). The sampled candidate block is constrained to
-    it, and GSPMD partitions the K independent H-step rollouts across the
-    mesh — the cost reduction/softmax is the only cross-device communication.
+    ``state``/``grid``/``cfg``/``actuator`` are the (possibly fidelity-
+    reduced) PLANNING model; ``costs_fn(state, cand) -> (K,) costs`` scores
+    the candidate block — the default is :func:`candidate_costs` on this
+    device, and the sharded planners inject a ``shard_map`` scorer built once
+    per mesh (:func:`plasma_control_tpu.parallel.pic_shard.make_sharded_plan`)
+    so every sampling/seeding/terminal/CEM feature works identically single-
+    and multi-chip.
     """
     h, d = mean.shape
-
-    if candidate_sharding is not None and mpc.plan_kernel != "xla":
-        # GSPMD cannot partition a pallas_call: the Pallas planning kernels
-        # only compose with multi-chip via shard_map (each device runs the
-        # kernel on its local candidate block — parallel.pic_shard.
-        # sharded_plan). Under the constraint path, "auto" falls back to the
-        # XLA kernels; explicitly forced Pallas kernels are a config error.
-        if mpc.plan_kernel in ("fused", "packed"):
-            raise ValueError(
-                f"plan_kernel={mpc.plan_kernel!r} (Pallas) cannot be used with "
-                "candidate_sharding (GSPMD constraint path) — use "
-                "parallel.pic_shard.sharded_plan (shard_map) for multi-chip "
-                "with Pallas planning kernels"
-            )
-        mpc = dataclasses.replace(mpc, plan_kernel="xla")
-
-    # Multi-fidelity: candidate rollouts may run on a reduced model.
-    state, grid, cfg = _plan_model(state, grid, cfg, mpc)
-    if actuator.n_mesh != grid.n_mesh:
-        actuator = _actuator_cache(cfg.length, grid.n_mesh, actuator.max_mode, mean.dtype)
 
     if mpc.seed_feedback and mpc.n_candidates >= 2:
         # phase-conjugate expert action at the current (plan) state, held
@@ -779,7 +780,7 @@ def plan(
 
     if mpc.algo == "mppi":
         cand = sample(key)
-        costs = candidate_costs(state, cand, grid, cfg, mpc, actuator)
+        costs = costs_fn(state, cand)
         w = jax.nn.softmax(-(costs - jnp.min(costs)) / mpc.temperature)
         new_mean = jnp.einsum("k,khd->hd", w, cand)
         best = jnp.min(costs)
@@ -790,7 +791,9 @@ def plan(
             cand = cand.at[0].set(mu)
             if fb_seq is not None:
                 cand = cand.at[1].set(jnp.clip(fb_seq, ctrl.coeff_min, ctrl.coeff_max))
-            costs = candidate_costs(state, cand, grid, cfg, mpc, actuator)
+            if candidate_sharding is not None:
+                cand = jax.lax.with_sharding_constraint(cand, candidate_sharding)
+            costs = costs_fn(state, cand)
             _, elite_idx = jax.lax.top_k(-costs, mpc.n_elites)
             elites = cand[elite_idx]
             mu2 = jnp.mean(elites, axis=0)
@@ -805,6 +808,111 @@ def plan(
         new_mean = _gradient_refine(state, new_mean, grid, cfg, ctrl, mpc, actuator)
 
     return new_mean[0], new_mean, best
+
+
+@partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc", "candidate_sharding"))
+def plan(
+    state: PlasmaState,
+    mean: jax.Array,  # (H, 2K) warm-started nominal sequence
+    sigma: jax.Array,  # (H, 2K) or scalar sampling stddev
+    key: jax.Array,
+    grid: Grid,
+    cfg: SimConfig,
+    ctrl: ControlConfig,
+    mpc: MPCConfig,
+    actuator: FourierActuator,
+    candidate_sharding=None,
+):
+    """One MPC solve. Returns (first_action, new_mean, best_cost).
+
+    ``candidate_sharding``: optional ``NamedSharding`` (e.g. over a
+    ``"rollout"`` mesh axis). The sampled candidate block is constrained to
+    it, and GSPMD partitions the K independent H-step rollouts across the
+    mesh — the cost reduction/softmax is the only cross-device communication.
+    For Pallas planning kernels multi-chip, use the shard_map planner
+    (:func:`plasma_control_tpu.parallel.pic_shard.make_sharded_plan`) instead.
+    """
+    if candidate_sharding is not None and mpc.plan_kernel != "xla":
+        # GSPMD cannot partition a pallas_call: the Pallas planning kernels
+        # only compose with multi-chip via shard_map (each device runs the
+        # kernel on its local candidate block — parallel.pic_shard.
+        # make_sharded_plan). Under the constraint path, "auto" falls back to
+        # the XLA kernels; explicitly forced Pallas kernels are a config error.
+        if mpc.plan_kernel in ("fused", "packed"):
+            raise ValueError(
+                f"plan_kernel={mpc.plan_kernel!r} (Pallas) cannot be used with "
+                "candidate_sharding (GSPMD constraint path) — use "
+                "parallel.pic_shard.make_sharded_plan (shard_map) for "
+                "multi-chip with Pallas planning kernels"
+            )
+        mpc = dataclasses.replace(mpc, plan_kernel="xla")
+
+    # Multi-fidelity: candidate rollouts may run on a reduced model.
+    state, grid, cfg = _plan_model(state, grid, cfg, mpc)
+    if actuator.n_mesh != grid.n_mesh:
+        actuator = _actuator_cache(cfg.length, grid.n_mesh, actuator.max_mode, mean.dtype)
+
+    def costs_fn(st, cand):
+        return candidate_costs(st, cand, grid, cfg, mpc, actuator)
+
+    return _plan_impl(
+        state, mean, sigma, key, grid, cfg, ctrl, mpc, actuator, costs_fn,
+        candidate_sharding=candidate_sharding,
+    )
+
+
+def _mpc_rollout_impl(
+    state: PlasmaState,
+    grid: Grid,
+    cfg: SimConfig,
+    ctrl: ControlConfig,
+    mpc: MPCConfig,
+    actuator: FourierActuator,
+    plan_fn,
+    key: jax.Array,
+    n_steps: Optional[int] = None,
+    mean0: Optional[jax.Array] = None,
+    step_keys: Optional[jax.Array] = None,
+) -> MPCOutput:
+    """Receding-horizon loop body over an injectable per-step solver.
+
+    ``plan_fn(state, mean, sigma, key) -> (action, new_mean, best)`` — the
+    single-device :func:`plan` partial, or a shard_map planner
+    (:func:`plasma_control_tpu.parallel.pic_shard.make_sharded_mpc_rollout`).
+    ``grid``/``cfg``/``actuator`` here are the FULL environment model: the
+    applied step always runs at full fidelity regardless of the plan model.
+    """
+    t = step_keys.shape[0] if step_keys is not None else (
+        n_steps if n_steps is not None else cfg.n_steps
+    )
+    d = 2 * ctrl.max_mode
+    if mean0 is None:
+        mean0 = jnp.zeros((mpc.horizon, d), dtype=state.x.dtype)
+    sigma = jnp.asarray(mpc.sigma0, dtype=state.x.dtype)
+
+    def body(carry, k):
+        st, mean = carry
+        action, new_mean, best = plan_fn(st, mean, sigma, k)
+        e_ext = actuator.compute_e_packed(action)
+        new_st = step(st, grid, cfg, e_ext)
+        pe, ke = _energies(new_st, grid, cfg)
+        ie = actuator.input_energy(action)
+        # receding horizon: shift, repeat last
+        shifted = jnp.concatenate([new_mean[1:], new_mean[-1:]])
+        return (new_st, shifted), (pe, ke, action, ie, best)
+
+    keys = step_keys if step_keys is not None else jax.random.split(key, t)
+    (final, mean_f), (pe, ke, coeffs, ie, best) = jax.lax.scan(body, (state, mean0), keys)
+    return MPCOutput(
+        final_state=final,
+        field_energy=pe,
+        kinetic=ke,
+        hamiltonian=pe + ke,
+        coeffs=coeffs,
+        input_energy=ie,
+        plan_cost=best,
+        final_mean=mean_f,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc", "n_steps", "candidate_sharding"))
@@ -830,37 +938,14 @@ def mpc_rollout(
     let segmented/resumed runs (:func:`plasma_control_tpu.io.resume.
     resumable_mpc_rollout`) reproduce an unsegmented run exactly.
     """
-    t = step_keys.shape[0] if step_keys is not None else (
-        n_steps if n_steps is not None else cfg.n_steps
-    )
-    d = 2 * ctrl.max_mode
-    if mean0 is None:
-        mean0 = jnp.zeros((mpc.horizon, d), dtype=state.x.dtype)
-    sigma = jnp.asarray(mpc.sigma0, dtype=state.x.dtype)
 
-    def body(carry, k):
-        st, mean = carry
-        action, new_mean, best = plan(
+    def plan_fn(st, mean, sigma, k):
+        return plan(
             st, mean, sigma, k, grid, cfg, ctrl, mpc, actuator,
             candidate_sharding=candidate_sharding,
         )
-        e_ext = actuator.compute_e_packed(action)
-        new_st = step(st, grid, cfg, e_ext)
-        pe, ke = _energies(new_st, grid, cfg)
-        ie = actuator.input_energy(action)
-        # receding horizon: shift, repeat last
-        shifted = jnp.concatenate([new_mean[1:], new_mean[-1:]])
-        return (new_st, shifted), (pe, ke, action, ie, best)
 
-    keys = step_keys if step_keys is not None else jax.random.split(key, t)
-    (final, mean_f), (pe, ke, coeffs, ie, best) = jax.lax.scan(body, (state, mean0), keys)
-    return MPCOutput(
-        final_state=final,
-        field_energy=pe,
-        kinetic=ke,
-        hamiltonian=pe + ke,
-        coeffs=coeffs,
-        input_energy=ie,
-        plan_cost=best,
-        final_mean=mean_f,
+    return _mpc_rollout_impl(
+        state, grid, cfg, ctrl, mpc, actuator, plan_fn, key,
+        n_steps=n_steps, mean0=mean0, step_keys=step_keys,
     )

@@ -104,3 +104,41 @@ class TestRunScripts:
             ["--max_mode", "2", "--n_excite_rollouts", "2", "--excite_steps", "20", "--n_lags", "3"],
         )
         check_artifacts(tmp_path, "lqr-control")
+
+    def test_run_dagger_train_and_eval(self, tmp_path):
+        """Amortized-MPC distillation end-to-end: 1 DAgger iteration on a
+        tiny config trains, saves weights, and produces the artifact set."""
+        actor = tmp_path / "actor.msgpack"
+        run_script(
+            tmp_path, "run_dagger.py",
+            ["--max_mode", "2", "--optimize", "--dagger_iters", "1",
+             "--epochs_per_iter", "5", "--mlp_dim", "8",
+             "--horizon", "3", "--n_candidates", "8", "--plan_modes", "4",
+             "--actor_path", str(actor)],
+        )
+        check_artifacts(tmp_path, "dagger-control")
+        assert actor.exists()
+
+    def test_run_dagger_eval_only(self, tmp_path):
+        run_script(
+            tmp_path, "run_dagger.py",
+            ["--max_mode", "2", "--mlp_dim", "8",
+             "--actor_path", str(tmp_path / "missing.msgpack")],
+        )
+        check_artifacts(tmp_path, "dagger-control")
+
+
+class TestMPCConfigValidation:
+    def test_negative_terminal_steps_rejected(self):
+        """A negative tail length would flip the geometric tail into a cost
+        credit rewarding growing candidates (ADVICE r1)."""
+        from plasma_control_tpu.config import MPCConfig
+
+        with pytest.raises(ValueError, match="terminal_steps"):
+            MPCConfig(terminal_steps=-1)
+
+    def test_growth_mode_short_horizon_warns(self):
+        from plasma_control_tpu.config import MPCConfig
+
+        with pytest.warns(UserWarning, match="horizon >= 2"):
+            MPCConfig(horizon=1, terminal_mode="growth")
