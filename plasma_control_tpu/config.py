@@ -111,6 +111,23 @@ class MPCConfig:
     # two-stream, coherent field >> floor) remain safe and ~N_plan/N faster.
     plan_particles: Optional[int] = None
     plan_mesh: Optional[int] = None
+    # Dynamic fidelity guard for subsampled planning (active only when
+    # plan_particles < N). Per solve, ON-DEVICE, compare the full state's
+    # coherent modal energy (plan frame) against the subsample's injected
+    # noise floor; when the ratio drops below fidelity_guard_ratio the solve
+    # is untrustworthy (the planner would profit by cancelling noise phases
+    # that don't exist in the real plasma — the HAZARD above) and the guard
+    # ZEROES the applied action and resets the warm-start mean. Rationale:
+    # shapes are static under jit so the plan cannot switch particle counts
+    # mid-scan, but in the unsafe regime the coherent field is at/below the
+    # screened noise floor where the correct drive is ~none (measured: quiet
+    # bump-on-tail uncontrolled tail PE ~25 vs ~270 when pumped by an
+    # unguarded subsampled planner). Unlike the t=0-only host check
+    # (plan_fidelity_check), this follows regime CHANGES — e.g. a controller
+    # that successfully quiets a two-stream re-enters the unsafe regime and
+    # the guard disengages the drive instead of letting it pump.
+    fidelity_guard: bool = True
+    fidelity_guard_ratio: float = 3.0
     # Cost fidelity: True (default) recomputes the field at the exact
     # post-step positions for the PE cost (one extra deposit+solve per step);
     # False reuses the field of the last kick substage — ~14% faster solves

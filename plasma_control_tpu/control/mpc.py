@@ -20,6 +20,7 @@ is the unit of data parallelism for multi-chip scaling
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -79,6 +80,34 @@ def _plan_model(state: PlasmaState, grid: Grid, cfg: SimConfig, mpc: MPCConfig):
     """
     plan_grid, plan_cfg = _reduced_model(grid, cfg, mpc, state.x.dtype)
     return _reduce_state(state, cfg, mpc), plan_grid, plan_cfg
+
+
+def _fidelity_ratio(
+    x: jax.Array, cfg: SimConfig, ctrl: ControlConfig, mpc: MPCConfig
+) -> jax.Array:
+    """On-device coherent-vs-injected-noise ratio of subsampled planning.
+
+    The traced core of :func:`plan_fidelity_check` (same statistics, jnp ops,
+    no host sync) so the guard can run inside a compiled solve — one
+    O(N*Km) mode-sum pass over the FULL state, negligible next to the K x H
+    candidate rollouts. See plan_fidelity_check's docstring for the physics.
+    """
+    n = cfg.n_particles
+    n_plan = mpc.plan_particles or n
+    km = max(int(mpc.plan_modes), ctrl.max_mode)
+    dtype = x.dtype
+    k = (2.0 * jnp.pi / cfg.length) * jnp.arange(1, km + 1, dtype=dtype)
+    t = (2.0 * jnp.pi / cfg.length) * jnp.ravel(x)
+    c, s = _mode_sums(jnp.cos(t), jnp.sin(t), km)
+    modal = (cfg.n0**2 / n) * (c * c + s * s) / (k * k)
+    floor_full = cfg.n0**2 / (k * k)
+    frac = min(n_plan / n, 1.0)
+    coherent = frac * jnp.sum(jnp.maximum(modal - floor_full, 0.0))
+    injected = sum(
+        cfg.n0**2 * (1.0 - frac) / (2.0 * math.pi * m / cfg.length) ** 2
+        for m in range(1, km + 1)
+    )
+    return coherent / max(injected, 1e-30)
 
 
 def plan_fidelity_check(
@@ -810,6 +839,30 @@ def _plan_impl(
     return new_mean[0], new_mean, best
 
 
+def _apply_fidelity_guard(plan_out, full_x, full_cfg, ctrl, mpc):
+    """Gate an (action, new_mean, best) solve on the dynamic fidelity ratio.
+
+    No-op (statically) at full-fidelity planning or with the guard disabled;
+    otherwise zeroes the applied action and the warm-start mean whenever the
+    on-device coherent/injected ratio is unsafe — see
+    :class:`MPCConfig.fidelity_guard`. The warm start is reset too: an unsafe
+    solve's mean encodes noise-phase cancellation and must not seed the next
+    (possibly safe) solve.
+    """
+    action, new_mean, best = plan_out
+    subsampled = (
+        mpc.plan_particles is not None and mpc.plan_particles < full_cfg.n_particles
+    )
+    if not (mpc.fidelity_guard and subsampled):
+        return plan_out
+    safe = _fidelity_ratio(full_x, full_cfg, ctrl, mpc) >= mpc.fidelity_guard_ratio
+    return (
+        jnp.where(safe, action, jnp.zeros_like(action)),
+        jnp.where(safe, new_mean, jnp.zeros_like(new_mean)),
+        best,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "ctrl", "mpc", "candidate_sharding"))
 def plan(
     state: PlasmaState,
@@ -847,6 +900,7 @@ def plan(
             )
         mpc = dataclasses.replace(mpc, plan_kernel="xla")
 
+    full_x, full_cfg = state.x, cfg
     # Multi-fidelity: candidate rollouts may run on a reduced model.
     state, grid, cfg = _plan_model(state, grid, cfg, mpc)
     if actuator.n_mesh != grid.n_mesh:
@@ -855,10 +909,11 @@ def plan(
     def costs_fn(st, cand):
         return candidate_costs(st, cand, grid, cfg, mpc, actuator)
 
-    return _plan_impl(
+    out = _plan_impl(
         state, mean, sigma, key, grid, cfg, ctrl, mpc, actuator, costs_fn,
         candidate_sharding=candidate_sharding,
     )
+    return _apply_fidelity_guard(out, full_x, full_cfg, ctrl, mpc)
 
 
 def _mpc_rollout_impl(

