@@ -124,11 +124,12 @@ def deposit(
     """
     n_particles = x.shape[0]
     if method == "pallas":
-        if kind != "cic":
-            raise ValueError("pallas deposit supports kind='cic' only")
         from .pallas.cic_pallas import deposit_cic_pallas
 
-        n = deposit_cic_pallas(jnp.mod(x, grid.length), grid.n_mesh, grid.length)
+        n = deposit_cic_pallas(
+            jnp.mod(x, grid.length), grid.n_mesh, grid.length, kind=kind,
+            interpret=jax.default_backend() != "tpu",
+        )
     elif method == "dense":
         w = shape_weights_dense(jnp.mod(x, grid.length), grid, kind)
         n = jnp.sum(w, axis=0)
@@ -156,11 +157,12 @@ def gather(
     `/root/reference/src/env/util.py:105-111`.
     """
     if method == "pallas":
-        if kind != "cic":
-            raise ValueError("pallas gather supports kind='cic' only")
         from .pallas.cic_pallas import gather_cic_pallas
 
-        return gather_cic_pallas(field_mesh, jnp.mod(x, grid.length), grid.n_mesh, grid.length)
+        return gather_cic_pallas(
+            field_mesh, jnp.mod(x, grid.length), grid.n_mesh, grid.length, kind=kind,
+            interpret=jax.default_backend() != "tpu",
+        )
     if method == "dense":
         w = shape_weights_dense(jnp.mod(x, grid.length), grid, kind)
         # (N, M) @ (M,) — MXU matvec; XLA fuses the weight computation in.

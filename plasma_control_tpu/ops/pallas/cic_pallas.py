@@ -42,21 +42,45 @@ def _auto_block_n(n: int, n_mesh: int) -> int:
     return bn
 
 
-def _weights_tile(x_tile, n_mesh: int, dx: float, row0, n_valid: int):
-    """(BB, BN, M) CIC hat weights for one tile, padded particle rows zeroed."""
+def _weights_tile(x_tile, n_mesh: int, dx: float, row0, n_valid: int, kind: str = "cic"):
+    """(BB, BN, M) shape-function weights for one tile, padded rows zeroed.
+
+    Same three kernels as :func:`plasma_control_tpu.ops.deposit.
+    shape_weights_dense` as functions of the periodically wrapped cell-unit
+    offset d: CIC hat, the reference's shifted TSC
+    (`/root/reference/src/env/interpolate.py:28-32`), and textbook TSC.
+    """
     bb, bn = x_tile.shape
     pos = x_tile * (1.0 / dx)  # (BB, BN)
     j = jax.lax.broadcasted_iota(jnp.int32, (bb, bn, n_mesh), 2).astype(jnp.float32)
     d = pos[:, :, None] - j
     d = d - n_mesh * jnp.round(d * (1.0 / n_mesh))  # periodic wrap
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    if kind == "cic":
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    elif kind == "tsc":
+        w = jnp.where(
+            (d >= 1.0) & (d < 2.0),
+            0.5 * (2.5 - d) ** 2,
+            jnp.where(
+                (d >= 0.0) & (d < 1.0),
+                0.75 - (d - 1.0) ** 2,
+                jnp.where((d >= -1.0) & (d < 0.0), 0.5 * (d + 0.5) ** 2, 0.0),
+            ),
+        )
+    elif kind == "tsc_standard":
+        a = jnp.abs(d)
+        w = jnp.where(
+            a <= 0.5, 0.75 - a**2, jnp.where(a <= 1.5, 0.5 * (1.5 - a) ** 2, 0.0)
+        )
+    else:
+        raise ValueError(f"unknown interpolation kind: {kind}")
     rows = jax.lax.broadcasted_iota(jnp.int32, (bb, bn, n_mesh), 1) + row0
     return jnp.where(rows < n_valid, w, 0.0)
 
 
-def _deposit_kernel(x_ref, out_ref, *, n_mesh, dx, block_n, n_valid):
+def _deposit_kernel(x_ref, out_ref, *, n_mesh, dx, block_n, n_valid, kind):
     i_n = pl.program_id(1)
-    w = _weights_tile(x_ref[:, :], n_mesh, dx, i_n * block_n, n_valid)
+    w = _weights_tile(x_ref[:, :], n_mesh, dx, i_n * block_n, n_valid, kind)
     partial = jnp.sum(w, axis=1)  # (BB, M)
 
     @pl.when(i_n == 0)
@@ -68,9 +92,9 @@ def _deposit_kernel(x_ref, out_ref, *, n_mesh, dx, block_n, n_valid):
         out_ref[:, :] = out_ref[:, :] + partial
 
 
-def _gather_kernel(x_ref, e_ref, out_ref, *, n_mesh, dx, block_n, n_valid):
+def _gather_kernel(x_ref, e_ref, out_ref, *, n_mesh, dx, block_n, n_valid, kind):
     i_n = pl.program_id(1)
-    w = _weights_tile(x_ref[:, :], n_mesh, dx, i_n * block_n, n_valid)
+    w = _weights_tile(x_ref[:, :], n_mesh, dx, i_n * block_n, n_valid, kind)
     # batched (BB, BN, M) x (BB, M) -> (BB, BN) on the MXU, weights VMEM-only
     out_ref[:, :] = jax.lax.dot_general(
         w, e_ref[:, :],
@@ -86,6 +110,7 @@ def _deposit_impl(
     length: float,
     block_n: int | None = None,
     interpret: bool = False,
+    kind: str = "cic",
 ) -> jax.Array:
     b, n = x.shape
     if block_n is None:
@@ -97,7 +122,7 @@ def _deposit_impl(
     dx = length / n_mesh
 
     kernel = functools.partial(
-        _deposit_kernel, n_mesh=n_mesh, dx=dx, block_n=block_n, n_valid=n
+        _deposit_kernel, n_mesh=n_mesh, dx=dx, block_n=block_n, n_valid=n, kind=kind
     )
     out = pl.pallas_call(
         kernel,
@@ -117,6 +142,7 @@ def _gather_impl(
     length: float,
     block_n: int | None = None,
     interpret: bool = False,
+    kind: str = "cic",
 ) -> jax.Array:
     b, n = x.shape
     if block_n is None:
@@ -129,7 +155,7 @@ def _gather_impl(
     dx = length / n_mesh
 
     kernel = functools.partial(
-        _gather_kernel, n_mesh=n_mesh, dx=dx, block_n=block_n, n_valid=n
+        _gather_kernel, n_mesh=n_mesh, dx=dx, block_n=block_n, n_valid=n, kind=kind
     )
     out = pl.pallas_call(
         kernel,
@@ -157,12 +183,12 @@ def _gather_impl(
 _VMAPPED_CACHE = {}
 
 
-def _batched_ops(n_mesh: int, length: float, block_n, interpret: bool):
-    key = (n_mesh, float(length), block_n, interpret)
+def _batched_ops(n_mesh: int, length: float, block_n, interpret: bool, kind: str = "cic"):
+    key = (n_mesh, float(length), block_n, interpret, kind)
     if key in _VMAPPED_CACHE:
         return _VMAPPED_CACHE[key]
 
-    kw = dict(n_mesh=n_mesh, length=length, block_n=block_n, interpret=interpret)
+    kw = dict(n_mesh=n_mesh, length=length, block_n=block_n, interpret=interpret, kind=kind)
 
     @jax.custom_batching.custom_vmap
     def dep(x):
@@ -192,23 +218,24 @@ def _batched_ops(n_mesh: int, length: float, block_n, interpret: bool):
     return dep, gat
 
 
-def deposit_cic_pallas(x, n_mesh, length, block_n=None, interpret=False):
-    """Unnormalized CIC density: sum of hat weights per cell.
+def deposit_cic_pallas(x, n_mesh, length, block_n=None, interpret=False, kind="cic"):
+    """Unnormalized density: sum of shape-function weights per cell.
 
-    Accepts (N,) or (B, N); vmap over extra leading axes reroutes to the
-    natively batched kernel.
+    ``kind``: "cic" (default), "tsc" (reference-parity shifted kernel), or
+    "tsc_standard". Accepts (N,) or (B, N); vmap over extra leading axes
+    reroutes to the natively batched kernel.
     """
-    dep, _ = _batched_ops(n_mesh, length, block_n, interpret)
+    dep, _ = _batched_ops(n_mesh, length, block_n, interpret, kind)
     if x.ndim == 2:
-        return _deposit_impl(x, n_mesh=n_mesh, length=length, block_n=block_n, interpret=interpret)
+        return _deposit_impl(x, n_mesh=n_mesh, length=length, block_n=block_n, interpret=interpret, kind=kind)
     return dep(x)
 
 
-def gather_cic_pallas(e_mesh, x, n_mesh, length, block_n=None, interpret=False):
-    """Per-particle CIC interpolation of e_mesh at x; (N,) or (B, N)."""
-    _, gat = _batched_ops(n_mesh, length, block_n, interpret)
+def gather_cic_pallas(e_mesh, x, n_mesh, length, block_n=None, interpret=False, kind="cic"):
+    """Per-particle interpolation of e_mesh at x; (N,) or (B, N)."""
+    _, gat = _batched_ops(n_mesh, length, block_n, interpret, kind)
     if x.ndim == 2:
         if e_mesh.ndim == 1:
             e_mesh = jnp.broadcast_to(e_mesh, (x.shape[0],) + e_mesh.shape)
-        return _gather_impl(e_mesh, x, n_mesh=n_mesh, length=length, block_n=block_n, interpret=interpret)
+        return _gather_impl(e_mesh, x, n_mesh=n_mesh, length=length, block_n=block_n, interpret=interpret, kind=kind)
     return gat(e_mesh, x)

