@@ -6,6 +6,8 @@ trajectory of our TPU path must track the reference implementation within
 tight tolerance over the control horizon.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -79,6 +81,97 @@ class TestGoldenTraces:
             np.asarray(st.x, dtype=np.float64), np.asarray(st.v, dtype=np.float64), cfg.n_steps
         )
         rel = np.abs(pe_jax - pe_ref) / np.abs(pe_ref)
+        assert rel.max() < 0.01, f"max relative PE error {rel.max():.4f}"
+
+
+def _load_ddpg_golden(case: str):
+    """Load the committed golden trace extracted from the reference's own
+    torch DDPG evaluation run (`/root/reference/run_ddpg.py:249-313`, executed
+    on CPU with 120 episodes; see experiments/make_ddpg_golden.py)."""
+    path = os.path.join(os.path.dirname(__file__), "data", f"ddpg_golden_{case}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden npz missing: {path}")
+    return np.load(path)
+
+
+def _ddpg_replay_inputs(d):
+    """Actuator mesh fields for replay steps 1..T-1.
+
+    Alignment (`/root/reference/run_ddpg.py:276-313`): snapshot column t and
+    PE[t] are recorded AFTER step t; coeff column t is the action applied
+    DURING step t. So a replay starting from snapshot column 0 applies coeff
+    columns 1..T-1 and compares against PE[1:]. The basis uses the
+    reference's endpoint-inclusive actuator grid
+    (`/root/reference/src/control/actuator.py:13`).
+    """
+    n_mesh, length = int(d["n_mesh"]), float(d["length"])
+    cc, cs = d["coeff_cos"], d["coeff_sin"]
+    k = 2.0 * np.pi / length * np.arange(1, cc.shape[0] + 1)
+    xm = np.linspace(0.0, length, n_mesh)
+    basis_cos, basis_sin = np.cos(np.outer(xm, k)), np.sin(np.outer(xm, k))
+    return (basis_cos @ cc[:, 1:] + basis_sin @ cs[:, 1:]).T  # (T-1, M)
+
+
+class TestReferenceDDPGGolden:
+    """BASELINE.md acceptance metric: field-energy trajectory error vs the
+    reference DDPG controller < 1%.
+
+    The reference's own torch DDPG was trained+evaluated (CPU) to produce
+    `dataset/<case>/ddpg-control/data.mat`; the compact golden npz holds its
+    post-step-0 state, applied coefficient sequence, and recorded PE(t).
+    Replaying the recorded actions through our dynamics and comparing PE
+    isolates exactly the framework-fidelity part of the contract (the action
+    sequence itself is the reference controller's, bit-for-bit).
+
+    Measured margins (2026-08-20): float64 native replay ~1e-11 both cases;
+    float32 JAX path 7.1e-4 (two-stream) / 2.4e-3 (bump-on-tail) over the
+    full 499-step horizon — 4x inside the 1% tolerance at worst.
+    """
+
+    CASES = ["two_stream", "bump_on_tail"]
+
+    @needs_native
+    @pytest.mark.parametrize("case", CASES)
+    def test_native_float64_replay_is_exact(self, case):
+        """The C++ oracle replay must match the reference's recorded PE to
+        float64 roundoff — proof the two implementations are the same
+        algorithm, not merely close."""
+        d = _load_ddpg_golden(case)
+        n_mesh, length, dt = int(d["n_mesh"]), float(d["length"]), float(d["dt"])
+        e_traj = _ddpg_replay_inputs(d)
+        x, v = d["x0"].copy(), d["v0"].copy()
+        pes = np.empty(e_traj.shape[0])
+        for t in range(e_traj.shape[0]):
+            x, v, pes[t] = native_step(x, v, n_mesh, length, dt, e_external=e_traj[t])
+        rel = np.abs(pes - d["pe"][1:]) / np.abs(d["pe"][1:])
+        assert rel.max() < 1e-9, f"max relative PE error {rel.max():.3e}"
+
+    @pytest.mark.parametrize("case", CASES)
+    def test_jax_float32_replay_within_baseline_tolerance(self, case):
+        """The compiled float32 TPU path must track the reference DDPG
+        trajectory within the BASELINE <1% tolerance over the full horizon."""
+        d = _load_ddpg_golden(case)
+        n_mesh, length, dt = int(d["n_mesh"]), float(d["length"]), float(d["dt"])
+        t_steps = int(d["pe"].shape[0]) - 1
+        cfg = SimConfig(
+            simcase=case.replace("_", "-"),
+            n_particles=int(d["n_particles"]),
+            n_mesh=n_mesh,
+            dt=dt,
+            t_max=dt * t_steps,
+            length=length,
+        )
+        grid = make_grid(n_mesh, length)
+        st = PlasmaState(
+            x=jnp.asarray(d["x0"], jnp.float32), v=jnp.asarray(d["v0"], jnp.float32)
+        )
+        e_traj = jnp.asarray(_ddpg_replay_inputs(d), jnp.float32)
+        out = rollout(st, grid, cfg, e_external_traj=e_traj, n_steps=t_steps)
+        pe_jax = np.asarray(out.field_energy)
+        ref = d["pe"]
+        rel0 = abs(pe_jax[0] - ref[0]) / abs(ref[0])
+        assert rel0 < 1e-5, f"initial-state PE mismatch {rel0:.3e}"
+        rel = np.abs(pe_jax[1:] - ref[1:]) / np.abs(ref[1:])
         assert rel.max() < 0.01, f"max relative PE error {rel.max():.4f}"
 
 
