@@ -237,11 +237,19 @@ class TestClosedLoop:
 
     def test_multifidelity_mpc_suppresses(self):
         """Planning on a reduced model (subsampled particles + coarse mesh)
-        must still suppress the instability in the full-fidelity closed loop."""
+        must still suppress the instability in the full-fidelity closed loop.
+
+        The dynamic fidelity guard is disabled here on purpose: at this tiny
+        scale (1000 of 2000 particles) the coherent/injected ratio straddles
+        the 3x threshold for the whole trajectory, so the default guard
+        (correctly, per its contract) gates the drive to zero. This test
+        exercises the multifidelity *mechanism*; the guard's own behavior is
+        covered by TestFidelityGuard."""
         cfg = tiny_cfg(n_particles=2000, n_mesh=64, t_max=25.0)
         mpc = MPCConfig(
             horizon=5, n_candidates=64, temperature=0.1, sigma0=0.3, w_input=0.01,
             plan_model="grid", plan_particles=1000, plan_mesh=32,
+            fidelity_guard=False,
         )
         grid = make_grid(cfg.n_mesh, cfg.length)
         act = make_actuator(cfg.length, cfg.n_mesh, 3)
