@@ -1,21 +1,24 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
 Headline: full-horizon MPC solves/s on one chip (BASELINE.json config 3:
-bump-on-tail, 4 Fourier control modes, 512 sampled rollouts per solve,
-reference default workload N=5000 particles / 250 cells). The solve is the
-framework's QUALITY-VALIDATED default for this case: gridless spectral
-candidate dynamics at FULL particle fidelity, plan_modes=8, horizon 6 with
-a terminal tail cost (w_terminal=4: the solve charges 4 more steps of the
-final planning-model field energy — a value-function tail estimate that
-lets H=6 rank candidates like H=10), knot-sampled antithetic candidates.
+bump-on-tail, 4 Fourier control modes, reference default workload N=5000
+particles / 250 cells). The solve is the framework's QUALITY-VALIDATED
+default for this case: gridless spectral candidate dynamics at FULL
+particle fidelity, plan_modes=8, horizon 6 with a terminal tail cost
+(w_terminal=4: the solve charges 4 more steps of the final planning-model
+field energy — a value-function tail estimate that lets H=6 rank candidates
+like H=10), K=384 knot-sampled antithetic candidates.
 Quality gates (closed-loop, bench scale, seed-paired —
-experiments/bench_growth_study.py + bench_fidelity_study.py +
-bot_bench_scale_debug.py, DEVNOTES 2026-08-20): this config suppresses
-bump-on-tail tail PE to 13.4 vs 13.2 for the previous H=8 default
-(uncontrolled ~24) and two-stream 1063 -> 25.8 vs 26.2 — seed-paired equal
-on both cases at 8/6 = 1.33x less planning work. Shorter horizons fail the
-two-stream gate (H5: 36.0, H4: 44.7), and the per-candidate growth tail
-estimator that wins at small K is noise-dominated at K=512/Km=8
+experiments/bench_growth_study.py + bench_k_study.py +
+bench_fidelity_study.py, DEVNOTES 2026-08-20): H6.w4 == H8 at 8 paired
+seeds on both cases (bump-on-tail 13.2 vs 12.8, two-stream 27.5 vs 31.0);
+K=384 == K=512 at 16 paired two-stream seeds (mean 29.4 vs 29.9, median
+23.8 vs 24.2) and bump-on-tail is flat in K down to 128 — while K=256
+FAILS the two-stream gate (+18% mean, fat tail) and is not taken. Net
+planning-work cut vs the r1 H8/K512 headline: (8/6)*(512/384) = 1.78x at
+seed-paired-equal suppression. Shorter horizons fail the two-stream gate
+(H5: 36.0, H4: 44.7), and the per-candidate growth tail estimator that
+wins at small K is noise-dominated at bench K/Km
 (experiments/growth_terminal_study.py has the small-K story). Earlier
 rounds benched a particle-subsampled planning model (plan 1024 of 5000,
 ~2x faster, "1021 solves/s") — measurably harmful on this workload (the
@@ -142,11 +145,12 @@ def main():
     ctrl = ControlConfig(max_mode=4)
     # Full-fidelity planning (candidate rollouts over all N particles):
     # particle subsampling is measurably harmful on this quiet workload (see
-    # module docstring / DEVNOTES). H=6 + w_terminal=4 and plan_modes=8 are
-    # quality-equal to H=8/Km=8 and H=10/Km=16 (seed-paired gates:
-    # experiments/bench_growth_study.py). The CPU baseline below is measured
-    # at the SAME full shapes so vs_baseline compares equal work.
-    mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=512, plan_modes=8)
+    # module docstring / DEVNOTES). H=6 + w_terminal=4, K=384 and plan_modes=8
+    # are quality-equal to H=8/K=512/Km=8 and H=10/Km=16 (seed-paired gates:
+    # experiments/bench_growth_study.py + bench_k_study.py). The CPU baseline
+    # below is measured at the SAME full shapes so vs_baseline compares equal
+    # work.
+    mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=384, plan_modes=8)
     grid = make_grid(cfg.n_mesh, cfg.length)
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     state = init_state(cfg, jax.random.PRNGKey(0))
