@@ -78,16 +78,26 @@ def _kernel(
     mask = mask_ref[:]  # (1, N)
 
     # ---- initial un-merged half-kick at the shared x0 ----------------------
+    # Harmonics via the three-term (Chebyshev) recurrence
+    #   f((h+1)t) = 2cos(t)*f(h*t) - f((h-1)t)   (f = cos with f(0)=1, sin
+    # with f(0)=0): one FMA per harmonic per trig family instead of the two
+    # of the angle-addition form — the mode loop is the measured ~70% of
+    # solve time (DEVNOTES: fused-kernel headroom). Masking stays exact:
+    # the h=0 seeds are (mask, 0) so a masked lane's recurrence is
+    # identically zero regardless of the UNMASKED 2cos(t) factor.
     t0 = c_ang * x0_ref[:]  # (1, N)
-    c1_0 = jnp.cos(t0) * mask
-    s1_0 = jnp.sin(t0) * mask
+    raw_c0 = jnp.cos(t0)
+    twoc_0 = raw_c0 + raw_c0
+    c_prev2, s_prev2 = mask, jnp.zeros_like(mask)  # harmonic 0
+    c_prev = raw_c0 * mask
+    s_prev = jnp.sin(t0) * mask
     acc0 = jnp.zeros((kb, n), jnp.float32)
-    c_prev, s_prev = c1_0, s1_0
     for m in range(km):
         if m > 0:
-            c_next = c_prev * c1_0 - s_prev * s1_0
-            s_next = s_prev * c1_0 + c_prev * s1_0
-            c_prev, s_prev = c_next, s_next
+            c_next = twoc_0 * c_prev - c_prev2
+            s_next = twoc_0 * s_prev - s_prev2
+            c_prev2, c_prev = c_prev, c_next
+            s_prev2, s_prev = s_prev, s_next
         cm = jnp.sum(c_prev)  # shared scalar mode sums at x0
         sm = jnp.sum(s_prev)
         pc0 = g[m] * sm + u0c_ref[:, m : m + 1]  # (KB, 1)
@@ -102,16 +112,20 @@ def _kernel(
         x = x + dt * vh
         x = x - length * jnp.floor(x * inv_l)
         ang = c_ang * x
-        c1 = jnp.cos(ang) * mask
-        s1 = jnp.sin(ang) * mask
+        raw_c = jnp.cos(ang)
+        twoc = raw_c + raw_c
+        bmask = jnp.broadcast_to(mask, (kb, n))
+        c_prev2, s_prev2 = bmask, jnp.zeros((kb, n), jnp.float32)  # harmonic 0
+        c_prev = raw_c * mask
+        s_prev = jnp.sin(ang) * mask
         acc = jnp.zeros((kb, n), jnp.float32)
         pe = jnp.zeros((kb, 1), jnp.float32)
-        c_prev, s_prev = c1, s1
         for m in range(km):
             if m > 0:
-                c_next = c_prev * c1 - s_prev * s1
-                s_next = s_prev * c1 + c_prev * s1
-                c_prev, s_prev = c_next, s_next
+                c_next = twoc * c_prev - c_prev2
+                s_next = twoc * s_prev - s_prev2
+                c_prev2, c_prev = c_prev, c_next
+                s_prev2, s_prev = s_prev, s_next
             cm = jnp.sum(c_prev, axis=-1, keepdims=True)  # (KB, 1)
             sm = jnp.sum(s_prev, axis=-1, keepdims=True)
             col = t * km + m
