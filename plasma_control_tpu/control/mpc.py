@@ -460,21 +460,25 @@ def _horizon_cost_kdk(
 def _mode_basis(x: jax.Array, length: float, n_modes: int):
     """(Km, N) cos/sin basis cos(k_m x), sin(k_m x), k_m = 2 pi m / L.
 
-    Built by the Chebyshev-style angle-addition recurrence — TWO
+    Built by the three-term (Chebyshev) recurrence f((h+1)t) = 2cos(t) f(ht)
+    - f((h-1)t) — TWO
     transcendental evaluations per particle total, 4 MACs per extra mode —
     and laid out modes-major so the particle axis rides the 128-wide lane
     dimension of the VPU (the (N, M) grid-planner weight tiles put the mesh
     axis on lanes at <=half utilization; see DEVNOTES perf map)."""
     t = (2.0 * jnp.pi / length) * x
     c1, s1 = jnp.cos(t), jnp.sin(t)
+    twoc = c1 + c1
     cs, ss = [c1], [s1]
+    c_pp, s_pp = jnp.ones_like(c1), jnp.zeros_like(s1)
     c_prev, s_prev = c1, s1
     for _ in range(n_modes - 1):
-        c_next = c_prev * c1 - s_prev * s1
-        s_next = s_prev * c1 + c_prev * s1
+        c_next = twoc * c_prev - c_pp
+        s_next = twoc * s_prev - s_pp
         cs.append(c_next)
         ss.append(s_next)
-        c_prev, s_prev = c_next, s_next
+        c_pp, c_prev = c_prev, c_next
+        s_pp, s_prev = s_prev, s_next
     return jnp.stack(cs), jnp.stack(ss)
 
 
@@ -486,14 +490,17 @@ def _mode_sums(c1: jax.Array, s1: jax.Array, n_modes: int):
     (Km, N) basis tensor is never materialized (XLA fuses the whole unrolled
     chain into one kernel — the HBM traffic is just x in, 2*Km scalars out).
     """
+    twoc = c1 + c1
     cs, ss = [jnp.sum(c1, axis=-1)], [jnp.sum(s1, axis=-1)]
+    c_pp, s_pp = jnp.ones_like(c1), jnp.zeros_like(s1)
     c_prev, s_prev = c1, s1
     for _ in range(n_modes - 1):
-        c_next = c_prev * c1 - s_prev * s1
-        s_next = s_prev * c1 + c_prev * s1
+        c_next = twoc * c_prev - c_pp
+        s_next = twoc * s_prev - s_pp
         cs.append(jnp.sum(c_next, axis=-1))
         ss.append(jnp.sum(s_next, axis=-1))
-        c_prev, s_prev = c_next, s_next
+        c_pp, c_prev = c_prev, c_next
+        s_pp, s_prev = s_prev, s_next
     return jnp.stack(cs, axis=-1), jnp.stack(ss, axis=-1)
 
 
@@ -505,13 +512,16 @@ def _mode_eval(c1: jax.Array, s1: jax.Array, pc: jax.Array, ps: jax.Array):
     ~1/8 utilization per batch element; as unrolled VPU MACs it fuses with
     the recurrence and touches HBM only for c1/s1."""
     n_modes = pc.shape[-1]
+    twoc = c1 + c1
     acc = pc[..., 0:1] * c1 + ps[..., 0:1] * s1
+    c_pp, s_pp = jnp.ones_like(c1), jnp.zeros_like(s1)
     c_prev, s_prev = c1, s1
     for m in range(1, n_modes):
-        c_next = c_prev * c1 - s_prev * s1
-        s_next = s_prev * c1 + c_prev * s1
+        c_next = twoc * c_prev - c_pp
+        s_next = twoc * s_prev - s_pp
         acc = acc + pc[..., m : m + 1] * c_next + ps[..., m : m + 1] * s_next
-        c_prev, s_prev = c_next, s_next
+        c_pp, c_prev = c_prev, c_next
+        s_pp, s_prev = s_prev, s_next
     return acc
 
 

@@ -126,6 +126,9 @@ def _kernel(
                 s_next = twoc * s_prev - s_prev2
                 c_prev2, c_prev = c_prev, c_next
                 s_prev2, s_prev = s_prev, s_next
+            # NB an MXU matvec against a ones column was tried for these
+            # lane reductions and measured 2x SLOWER end-to-end (885 vs
+            # 1649 solves/s) — the 1-column matmul stalls; keep jnp.sum.
             cm = jnp.sum(c_prev, axis=-1, keepdims=True)  # (KB, 1)
             sm = jnp.sum(s_prev, axis=-1, keepdims=True)
             col = t * km + m
