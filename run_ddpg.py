@@ -32,6 +32,9 @@ def main():
     p.add_argument("--min_buffer_size", type=int, default=10000)
     p.add_argument("--reward_shape", type=str, default="reference", choices=["reference", "shaped"],
                    help="training reward: reference parity, or the scale-free shaped variant")
+    p.add_argument("--encoder", type=str, default="deepsets", choices=["deepsets", "spectral"],
+                   help="actor/critic state encoder: the reference's DeepSets ParticleEncoder, "
+                        "or spectral phase-space moments (DDPGConfig.encoder)")
     p.add_argument("--save_last", type=str, default=None)
     p.add_argument("--save_best", type=str, default=None)
     p.add_argument("--optimize", action="store_true", default=False)
@@ -62,6 +65,7 @@ def main():
         alpha=args["alpha"],
         beta=args["beta"],
         reward_shape=args["reward_shape"],
+        encoder=args["encoder"],
     )
     run_rl("ddpg", args, cfg, ctrl, hp)
 
