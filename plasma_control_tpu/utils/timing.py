@@ -76,7 +76,7 @@ def mpc_solve_rate(
     actuator,
     r1: int = 2,
     r2: int = 52,
-    trials: int = 3,
+    trials: int = 5,
 ) -> dict:
     """Canonical MPC solves/s measurement: two-length warm-started solve
     chains (exactly the receding-horizon production pattern — each solve
