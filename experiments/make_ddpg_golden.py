@@ -17,7 +17,11 @@ t and PE[t] are AFTER step t; coeff column t is the action applied DURING
 step t — so a replay from column 0 applies coeff columns 1..T-1 and
 compares PE[1:].
 
-Usage: python experiments/make_ddpg_golden.py <data.mat> <simcase>
+Usage: python experiments/make_ddpg_golden.py <data.mat> <simcase> [tag]
+
+``tag`` overrides the output basename (default: simcase with dashes as
+underscores) — used for the PPO golden (tag "two_stream_ppo"), whose replay
+test reads the simcase from inside the npz.
 """
 
 import os
@@ -44,9 +48,9 @@ if __name__ == "__main__":
         n0=float(d["n0"][0, 0]),
         simcase=simcase,
     )
+    tag = sys.argv[3] if len(sys.argv) > 3 else simcase.replace("-", "_")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "tests", "data",
-                        f"ddpg_golden_{simcase.replace('-', '_')}.npz")
+    path = os.path.join(root, "tests", "data", f"ddpg_golden_{tag}.npz")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **out)
     print("wrote", path, os.path.getsize(path), "bytes")
