@@ -82,6 +82,21 @@ def _plan_model(state: PlasmaState, grid: Grid, cfg: SimConfig, mpc: MPCConfig):
     return _reduce_state(state, cfg, mpc), plan_grid, plan_cfg
 
 
+def _plan_frac(cfg: SimConfig, mpc: MPCConfig) -> float:
+    """ACTUAL planned-particle fraction n_eff/N under the stride arithmetic
+    of :func:`_reduce_state` (stride = N // plan_particles, n_eff =
+    ceil(N/stride)) — NOT plan_particles/N. The two differ whenever
+    plan_particles does not divide N, and for plan_particles in (N/2, N]
+    the stride is 1 and planning is exactly full fidelity (frac = 1.0, so
+    the guard and the host check are statically no-ops)."""
+    n = cfg.n_particles
+    if mpc.plan_particles is None or mpc.plan_particles >= n:
+        return 1.0
+    stride = max(1, n // mpc.plan_particles)
+    n_eff = -(-n // stride)
+    return min(n_eff / n, 1.0)
+
+
 def _fidelity_ratio(
     x: jax.Array, cfg: SimConfig, ctrl: ControlConfig, mpc: MPCConfig
 ) -> jax.Array:
@@ -93,7 +108,6 @@ def _fidelity_ratio(
     candidate rollouts. See plan_fidelity_check's docstring for the physics.
     """
     n = cfg.n_particles
-    n_plan = mpc.plan_particles or n
     km = max(int(mpc.plan_modes), ctrl.max_mode)
     dtype = x.dtype
     k = (2.0 * jnp.pi / cfg.length) * jnp.arange(1, km + 1, dtype=dtype)
@@ -101,7 +115,7 @@ def _fidelity_ratio(
     c, s = _mode_sums(jnp.cos(t), jnp.sin(t), km)
     modal = (cfg.n0**2 / n) * (c * c + s * s) / (k * k)
     floor_full = cfg.n0**2 / (k * k)
-    frac = min(n_plan / n, 1.0)
+    frac = _plan_frac(cfg, mpc)
     coherent = frac * jnp.sum(jnp.maximum(modal - floor_full, 0.0))
     injected = sum(
         cfg.n0**2 * (1.0 - frac) / (2.0 * math.pi * m / cfg.length) ** 2
@@ -140,13 +154,17 @@ def plan_fidelity_check(
     sums).
 
     Returns {"coherent_pe", "injected_noise_pe", "ratio", "safe"}; ``safe``
-    means plan-frame coherent >= 3x injected. Cheap (one pass over the full
-    state); called by run_mpc at t=0 when a particle reduction is requested.
+    means plan-frame coherent >= ``mpc.fidelity_guard_ratio`` x injected
+    (the same threshold the per-solve dynamic guard uses, so the t=0
+    diagnostic and the runtime behavior cannot disagree). The planned
+    fraction uses the ACTUAL stride arithmetic of the reduction
+    (:func:`_plan_frac`), not plan_particles/N. Cheap (one pass over the
+    full state); called by run_mpc at t=0 when a particle reduction is
+    requested.
     """
     import numpy as np
 
     n = cfg.n_particles
-    n_plan = mpc.plan_particles or n
     km = max(int(mpc.plan_modes), ctrl.max_mode)
     k = (2.0 * np.pi / cfg.length) * np.arange(1, km + 1)
     t = (2.0 * np.pi / cfg.length) * np.asarray(jnp.ravel(state.x))
@@ -156,7 +174,7 @@ def plan_fidelity_check(
     # (E[c^2+s^2] = N for iid-uniform positions) = coherent part
     modal = (cfg.n0**2 / n) * (c * c + s * s) / (k * k)
     floor_full = cfg.n0**2 / (k * k)
-    frac = min(n_plan / n, 1.0)
+    frac = _plan_frac(cfg, mpc)
     # plan-frame: coherent attenuates by n/N; injected noise is (1-n/N)-scaled
     coherent = frac * float(np.sum(np.maximum(modal - floor_full, 0.0)))
     injected = float(np.sum(cfg.n0**2 * (1.0 - frac) / (k * k)))
@@ -165,7 +183,7 @@ def plan_fidelity_check(
         "coherent_pe": coherent,
         "injected_noise_pe": injected,
         "ratio": ratio,
-        "safe": ratio >= 3.0,
+        "safe": ratio >= mpc.fidelity_guard_ratio,
     }
 
 
@@ -860,10 +878,11 @@ def _apply_fidelity_guard(plan_out, full_x, full_cfg, ctrl, mpc):
     (possibly safe) solve.
     """
     action, new_mean, best = plan_out
-    subsampled = (
-        mpc.plan_particles is not None and mpc.plan_particles < full_cfg.n_particles
-    )
-    if not (mpc.fidelity_guard and subsampled):
+    # arm only when the stride arithmetic ACTUALLY drops particles — for
+    # plan_particles in (N/2, N) the stride is 1, planning is full fidelity,
+    # and zeroing the drive on fictitious injected noise would silently
+    # disable the controller (review finding 2026-08-20)
+    if not (mpc.fidelity_guard and _plan_frac(full_cfg, mpc) < 1.0):
         return plan_out
     safe = _fidelity_ratio(full_x, full_cfg, ctrl, mpc) >= mpc.fidelity_guard_ratio
     return (

@@ -49,8 +49,9 @@ def main():
     actuator = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode, endpoint_grid=ctrl.endpoint_grid)
     state = init_state(cfg, jax.random.PRNGKey(cfg.seed))
 
-    if mpc.plan_particles and mpc.plan_particles < cfg.n_particles:
-        from plasma_control_tpu.control.mpc import plan_fidelity_check
+    from plasma_control_tpu.control.mpc import _plan_frac, plan_fidelity_check
+
+    if _plan_frac(cfg, mpc) < 1.0:
 
         chk = plan_fidelity_check(state, cfg, ctrl, mpc)
         if not chk["safe"]:
@@ -66,7 +67,7 @@ def main():
             print(
                 f"# WARNING: --plan_particles {mpc.plan_particles} injects a plan-model "
                 f"noise floor ({chk['injected_noise_pe']:.1f}) comparable to the coherent "
-                f"field energy ({chk['coherent_pe']:.1f}, ratio {chk['ratio']:.2f} < 3) at t=0 — "
+                f"field energy ({chk['coherent_pe']:.1f}, ratio {chk['ratio']:.2f} < {mpc.fidelity_guard_ratio:g}) at t=0 — "
                 f"{guard_msg}. Plan at full fidelity (drop --plan_particles) for "
                 "quiet/saturated plasmas."
             )

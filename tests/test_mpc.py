@@ -648,6 +648,48 @@ class TestDynamicFidelityGuard:
         dev = float(_fidelity_ratio(st.x, cfg, ctrl, mpc))
         np.testing.assert_allclose(dev, host["ratio"], rtol=1e-4)
 
+    def test_stride_one_subsample_is_full_fidelity_and_unguarded(self):
+        """plan_particles in (N/2, N): the stride arithmetic keeps ALL
+        particles, so planning is exactly full fidelity and the guard must
+        NOT zero the drive on fictitious injected noise (review finding
+        2026-08-20). A quiet state would trip a mis-armed guard."""
+        from plasma_control_tpu.control.mpc import _plan_frac, plan_fidelity_check
+
+        cfg, ctrl, mpc0, grid, act = self._mk(plan_particles=1500)  # N=2000
+        assert _plan_frac(cfg, mpc0) == 1.0
+        assert plan_fidelity_check(
+            init_state(cfg, jax.random.PRNGKey(0)), cfg, ctrl, mpc0
+        )["safe"]
+        # quiet (uniform) state: a frac<1 guard would zero everything here
+        x = jax.random.uniform(jax.random.PRNGKey(0), (cfg.n_particles,)) * cfg.length
+        v = jax.random.normal(jax.random.PRNGKey(1), (cfg.n_particles,))
+        a, m, best = plan(PlasmaState(x, v), jnp.zeros((4, 4)), jnp.asarray(0.3),
+                          jax.random.PRNGKey(2), grid, cfg, ctrl, mpc0, act)
+        assert np.any(np.asarray(a) != 0.0)
+
+    def test_plan_frac_uses_actual_stride(self):
+        """Non-dividing plan_particles: frac must be ceil(N/stride)/N, not
+        plan_particles/N (plan 1024 of 5000 -> stride 4 -> 1250 kept)."""
+        from plasma_control_tpu.control.mpc import _plan_frac
+
+        cfg = SimConfig(n_particles=5000, n_mesh=32, dt=0.1, t_max=1.0, length=50.0)
+        assert _plan_frac(cfg, MPCConfig(plan_particles=1024)) == 1250 / 5000
+        assert _plan_frac(cfg, MPCConfig()) == 1.0
+
+    def test_host_check_honors_configured_threshold(self):
+        """plan_fidelity_check must use mpc.fidelity_guard_ratio, not a
+        hardcoded 3.0, so the t=0 diagnostic and the runtime guard agree."""
+        from plasma_control_tpu.control.mpc import plan_fidelity_check
+
+        cfg, ctrl, _, grid, act = self._mk()
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        lo = plan_fidelity_check(st, cfg, ctrl,
+                                 MPCConfig(plan_particles=500, fidelity_guard_ratio=1e-9))
+        hi = plan_fidelity_check(st, cfg, ctrl,
+                                 MPCConfig(plan_particles=500, fidelity_guard_ratio=1e9))
+        assert lo["safe"] and not hi["safe"]
+        assert lo["ratio"] == hi["ratio"]
+
     def test_guard_trips_midrun_on_decaying_plasma(self):
         """A Landau-damping run starts coherent (safe: drive engaged) and
         quiets down (unsafe: the guard disengages the drive mid-run) — the
