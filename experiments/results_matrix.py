@@ -63,8 +63,15 @@ if __name__ == "__main__":
         actor_path = os.path.join(
             root, "artifacts", f"dagger_actor_{simcase.replace('-', '_')}.msgpack"
         )
-        nets, ts = make_ddpg(cfg, ctrl, DDPGConfig(encoder="spectral"),
-                             jax.random.PRNGKey(cfg.seed + 7))
+        # output range MUST match run_dagger's training-time config
+        # (ctrl.coeff_min/max = +-1.0) — the bare DDPGConfig default is
+        # +-1.25, which would evaluate a 1.25x-gain variant of the trained
+        # policy (review finding 2026-08-20)
+        nets, ts = make_ddpg(
+            cfg, ctrl,
+            DDPGConfig(encoder="spectral",
+                       output_min=ctrl.coeff_min, output_max=ctrl.coeff_max),
+            jax.random.PRNGKey(cfg.seed + 7))
         actor_params = load_params(actor_path, ts.actor_params)
         action_fn = lambda s: nets.actor.sample(actor_params, s[None])[0]
 

@@ -397,8 +397,13 @@ class TestLearnedSuppression:
         ctrl = ControlConfig(max_mode=3)
         grid = make_grid(cfg.n_mesh, cfg.length)
         act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
-        nets, ts = make_ddpg(cfg, ctrl, DDPGConfig(encoder="spectral"),
-                             jax.random.PRNGKey(cfg.seed + 7))
+        # output range must match run_dagger's training config (ctrl
+        # coeff bounds, +-1.0), not the DDPGConfig default +-1.25
+        nets, ts = make_ddpg(
+            cfg, ctrl,
+            DDPGConfig(encoder="spectral",
+                       output_min=ctrl.coeff_min, output_max=ctrl.coeff_max),
+            jax.random.PRNGKey(cfg.seed + 7))
         params = load_params(path, ts.actor_params)
         action_fn = lambda s: nets.actor.sample(params, s[None])[0]
 
