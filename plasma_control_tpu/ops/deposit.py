@@ -35,7 +35,7 @@ from .grid import Grid
 Kind = Literal["cic", "tsc", "tsc_standard"]
 Method = Literal["dense", "scatter", "pallas"]
 
-__all__ = ["deposit", "gather", "shape_weights_dense", "deposit_and_gather_indices"]
+__all__ = ["deposit", "gather", "shape_weights_dense", "shape_weights_from_offset", "deposit_and_gather_indices"]
 
 
 def _wrapped_offset(x: jax.Array, grid: Grid) -> jax.Array:
@@ -47,9 +47,15 @@ def _wrapped_offset(x: jax.Array, grid: Grid) -> jax.Array:
     return d - m * jnp.round(d / m)
 
 
-def shape_weights_dense(x: jax.Array, grid: Grid, kind: Kind = "cic") -> jax.Array:
-    """Dense (N, M) shape-function weights; rows sum to 1 (partition of unity)."""
-    d = _wrapped_offset(x, grid)
+def shape_weights_from_offset(d: jax.Array, kind: Kind = "cic") -> jax.Array:
+    """Shape-function weight w(d) of a periodically wrapped cell-unit offset.
+
+    The single source of the three weight formulas — used by the dense XLA
+    path here and traced inside the Pallas weight tiles
+    (`ops/pallas/cic_pallas.py::_weights_tile`), so the piecewise boundary
+    conditions cannot drift between the two paths. Shape-polymorphic
+    (elementwise in ``d``).
+    """
     if kind == "cic":
         return jnp.maximum(0.0, 1.0 - jnp.abs(d))
     if kind == "tsc":
@@ -57,7 +63,7 @@ def shape_weights_dense(x: jax.Array, grid: Grid, kind: Kind = "cic") -> jax.Arr
         #   cell j-1 (offset d in [1,2)):   0.5*(2.5-d)^2
         #   cell j   (offset d in [0,1)):   0.75-(d-1)^2
         #   cell j+1 (offset d in [-1,0)):  0.5*(d+0.5)^2
-        w = jnp.where(
+        return jnp.where(
             (d >= 1.0) & (d < 2.0),
             0.5 * (2.5 - d) ** 2,
             jnp.where(
@@ -66,7 +72,6 @@ def shape_weights_dense(x: jax.Array, grid: Grid, kind: Kind = "cic") -> jax.Arr
                 jnp.where((d >= -1.0) & (d < 0.0), 0.5 * (d + 0.5) ** 2, 0.0),
             ),
         )
-        return w
     if kind == "tsc_standard":
         a = jnp.abs(d)
         return jnp.where(
@@ -75,6 +80,11 @@ def shape_weights_dense(x: jax.Array, grid: Grid, kind: Kind = "cic") -> jax.Arr
             jnp.where(a <= 1.5, 0.5 * (1.5 - a) ** 2, 0.0),
         )
     raise ValueError(f"unknown interpolation kind: {kind}")
+
+
+def shape_weights_dense(x: jax.Array, grid: Grid, kind: Kind = "cic") -> jax.Array:
+    """Dense (N, M) shape-function weights; rows sum to 1 (partition of unity)."""
+    return shape_weights_from_offset(_wrapped_offset(x, grid), kind)
 
 
 def deposit_and_gather_indices(x: jax.Array, grid: Grid, kind: Kind = "cic"):

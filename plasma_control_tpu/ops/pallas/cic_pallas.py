@@ -50,30 +50,14 @@ def _weights_tile(x_tile, n_mesh: int, dx: float, row0, n_valid: int, kind: str 
     offset d: CIC hat, the reference's shifted TSC
     (`/root/reference/src/env/interpolate.py:28-32`), and textbook TSC.
     """
+    from ..deposit import shape_weights_from_offset
+
     bb, bn = x_tile.shape
     pos = x_tile * (1.0 / dx)  # (BB, BN)
     j = jax.lax.broadcasted_iota(jnp.int32, (bb, bn, n_mesh), 2).astype(jnp.float32)
     d = pos[:, :, None] - j
     d = d - n_mesh * jnp.round(d * (1.0 / n_mesh))  # periodic wrap
-    if kind == "cic":
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
-    elif kind == "tsc":
-        w = jnp.where(
-            (d >= 1.0) & (d < 2.0),
-            0.5 * (2.5 - d) ** 2,
-            jnp.where(
-                (d >= 0.0) & (d < 1.0),
-                0.75 - (d - 1.0) ** 2,
-                jnp.where((d >= -1.0) & (d < 0.0), 0.5 * (d + 0.5) ** 2, 0.0),
-            ),
-        )
-    elif kind == "tsc_standard":
-        a = jnp.abs(d)
-        w = jnp.where(
-            a <= 0.5, 0.75 - a**2, jnp.where(a <= 1.5, 0.5 * (1.5 - a) ** 2, 0.0)
-        )
-    else:
-        raise ValueError(f"unknown interpolation kind: {kind}")
+    w = shape_weights_from_offset(d, kind)  # shared single-source formulas
     rows = jax.lax.broadcasted_iota(jnp.int32, (bb, bn, n_mesh), 1) + row0
     return jnp.where(rows < n_valid, w, 0.0)
 

@@ -267,5 +267,10 @@ def sharded_plan(
     """
     cache_key = (mesh, cfg, ctrl, mpc, actuator.max_mode, grid.n_mesh)
     if cache_key not in _SHARDED_PLANS:
+        # bounded FIFO: a config sweep (dataclasses.replace(mpc, ...) in a
+        # loop) would otherwise grow one jitted closure + compiled
+        # executables per variant for the life of the process
+        while len(_SHARDED_PLANS) >= 8:
+            _SHARDED_PLANS.pop(next(iter(_SHARDED_PLANS)))
         _SHARDED_PLANS[cache_key] = make_sharded_plan(mesh, grid, cfg, ctrl, mpc, actuator)
     return _SHARDED_PLANS[cache_key](state, mean, sigma, key)
