@@ -84,34 +84,38 @@ def config3():
     from plasma_control_tpu.models.pic import init_state
     from plasma_control_tpu.ops.grid import make_grid
 
-    # Quality-validated full-fidelity planning config (bench.py headline;
-    # subsampled planning pumps this quiet case — DEVNOTES 2026-08-19;
-    # H=6 + w_terminal=4 seed-paired equal to H=8 on both cases —
-    # experiments/bench_growth_study.py, 2026-08-20).
+    # Two rows: the literal BASELINE config-3 spec (512 rollouts/solve) and
+    # the quality-gated bench default (K=384, seed-paired equal suppression
+    # on both cases — experiments/bench_k_study.py 2026-08-20; H=6 +
+    # w_terminal=4 == H=8 re-gated at 8 seeds). Subsampled planning pumps
+    # this quiet case (DEVNOTES 2026-08-19) so both rows are full fidelity.
     cfg = SimConfig(simcase="bump-on-tail", n_particles=5000, n_mesh=250, dt=0.1)
     ctrl = ControlConfig(max_mode=4)
-    mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=512, plan_modes=8)
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     st = init_state(cfg, jax.random.PRNGKey(0))
-    mean = jnp.zeros((mpc.horizon, ctrl.n_actions), jnp.float32)
-    sigma = jnp.asarray(mpc.sigma0, jnp.float32)
     reps = 50
 
-    @jax.jit
-    def chain(s, m, k):
-        def body(carry, kk):
-            a, nm, best = plan(s, carry, sigma, kk, grid, cfg, ctrl, mpc, act)
-            return nm, best
+    for label, k_cand in (("spec-K512", 512), ("gated-K384", 384)):
+        mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=k_cand, plan_modes=8)
+        mean = jnp.zeros((mpc.horizon, ctrl.n_actions), jnp.float32)
+        sigma = jnp.asarray(mpc.sigma0, jnp.float32)
 
-        _, bests = jax.lax.scan(body, m, jax.random.split(k, reps))
-        return bests
+        @jax.jit
+        def chain(s, m, k, mpc=mpc):
+            def body(carry, kk):
+                a, nm, best = plan(s, carry, sigma, kk, grid, cfg, ctrl, mpc, act)
+                return nm, best
 
-    np.asarray(chain(st, mean, jax.random.PRNGKey(1)))
-    t0 = time.perf_counter()
-    np.asarray(chain(st, mean, jax.random.PRNGKey(2)))
-    _emit("3-mpc-1chip", reps / (time.perf_counter() - t0), "solves/s", K=512, H=mpc.horizon,
-          note="wall-clock incl. per-launch tunnel latency; bench.py's slope method is canonical")
+            _, bests = jax.lax.scan(body, m, jax.random.split(k, reps))
+            return bests
+
+        np.asarray(chain(st, mean, jax.random.PRNGKey(1)))
+        t0 = time.perf_counter()
+        np.asarray(chain(st, mean, jax.random.PRNGKey(2)))
+        _emit("3-mpc-1chip", reps / (time.perf_counter() - t0), "solves/s",
+              K=k_cand, H=mpc.horizon, variant=label,
+              note="wall-clock incl. per-launch tunnel latency; bench.py's slope method is canonical")
 
 
 def config4():
