@@ -80,6 +80,11 @@ class DDPGConfig:
     # needs; DEVNOTES RL findings).
     encoder: str = "deepsets"
     encoder_modes: int = 8
+    # Velocity-moment order of the spectral encoder: 1 = density + current
+    # per mode (the round-2 committed actors), 2 adds per-mode pressure,
+    # 3 heat flux — successive closures of the linearized Vlasov moment
+    # hierarchy (networks.SpectralEncoder docstring).
+    encoder_v_order: int = 1
 
 
 class DDPGState(NamedTuple):
@@ -113,6 +118,7 @@ def make_ddpg(cfg: SimConfig, ctrl: ControlConfig, hp: DDPGConfig, key: jax.Arra
             output_min=hp.output_min,
             output_max=hp.output_max,
             length=cfg.length,
+            v_order=hp.encoder_v_order,
         )
     else:
         actor = DDPGActor(

@@ -80,12 +80,22 @@ class SpectralEncoder(nn.Module):
     (c_m, s_m), `/root/reference/run_feedback.py:130-143`; the spectral
     planning model evolves these same sums) — unlike the DeepSets mean-pool
     (`encode.py:27-38`), no phase information is lost, and the feature
-    dimension is 4*n_modes + 2 instead of a learned pooling over 2N inputs.
+    dimension is 2*(v_order+1)*n_modes + (v_order+1) instead of a learned
+    pooling over 2N inputs.
     Built with the same angle-addition recurrence as the spectral planner.
+
+    ``v_order`` extends the per-mode moments up the linearized-Vlasov
+    hierarchy: order 1 = density + current (the wave's amplitude and phase
+    velocity), order 2 adds per-mode pressure (v^2 c_m, v^2 s_m), order 3
+    the heat flux (v^3 ...). Each mode's density moment is driven by the
+    current moment, the current by the pressure, ... — a higher order hands
+    the actor the closure information the planner recovers by rolling the
+    dynamics forward.
     """
 
     n_modes: int = 8
     length: float = 50.0
+    v_order: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -93,6 +103,10 @@ class SpectralEncoder(nn.Module):
         q, p = x[..., :n], x[..., n:]
         ang = q * (2.0 * jnp.pi / self.length)
         c1, s1 = jnp.cos(ang), jnp.sin(ang)
+        # v^j weight planes, j = 0..v_order (v^0 = density plane)
+        powers = [jnp.ones_like(p)]
+        for _ in range(self.v_order):
+            powers.append(powers[-1] * p)
         feats = []
         c_prev, s_prev = c1, s1
         for m in range(self.n_modes):
@@ -100,14 +114,18 @@ class SpectralEncoder(nn.Module):
                 c_next = c_prev * c1 - s_prev * s1
                 s_next = s_prev * c1 + c_prev * s1
                 c_prev, s_prev = c_next, s_next
-            feats += [
-                jnp.mean(c_prev, axis=-1),
-                jnp.mean(s_prev, axis=-1),
-                jnp.mean(p * c_prev, axis=-1),
-                jnp.mean(p * s_prev, axis=-1),
-            ]
-        feats += [jnp.mean(p, axis=-1), jnp.mean(p * p, axis=-1)]
-        return jnp.stack(feats, axis=-1)  # (..., 4*n_modes + 2)
+            for w in powers:
+                feats += [
+                    jnp.mean(w * c_prev, axis=-1),
+                    jnp.mean(w * s_prev, axis=-1),
+                ]
+        # bulk moments <v^j>, j = 1..v_order+1 (order-1 default keeps the
+        # original (mean v, mean v^2) pair)
+        bulk = p
+        for _ in range(self.v_order + 1):
+            feats.append(jnp.mean(bulk, axis=-1))
+            bulk = bulk * p
+        return jnp.stack(feats, axis=-1)
 
 
 class SpectralActor(nn.Module):
@@ -121,10 +139,11 @@ class SpectralActor(nn.Module):
     output_min: float = -1.0
     output_max: float = 1.0
     length: float = 50.0
+    v_order: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        z = SpectralEncoder(self.n_modes, self.length)(x)
+        z = SpectralEncoder(self.n_modes, self.length, self.v_order)(x)
         z = _LNTrunk(self.mlp_dim)(z)
         return jnp.tanh(nn.Dense(self.n_actions)(z))
 

@@ -59,6 +59,9 @@ def main():
                    choices=["spectral", "deepsets"],
                    help="actor state encoder (spectral: 2.1-2.5x better distillation)")
     p.add_argument("--encoder_modes", type=int, default=8)
+    p.add_argument("--encoder_v_order", type=int, default=1,
+                   help="velocity-moment order of the spectral encoder "
+                        "(1: density+current; 2: +pressure; 3: +heat flux)")
     p.add_argument("--mlp_dim", type=int, default=64)
     p.add_argument("--dagger_iters", type=int, default=6)
     p.add_argument("--epochs_per_iter", type=int, default=400)
@@ -67,7 +70,7 @@ def main():
     ctrl = build_control_config(args)
     mpc = build_mpc_config(args)
     hp = DDPGConfig(encoder=args["encoder"], encoder_modes=args["encoder_modes"],
-                    mlp_dim=args["mlp_dim"],
+                    encoder_v_order=args["encoder_v_order"], mlp_dim=args["mlp_dim"],
                     output_min=ctrl.coeff_min, output_max=ctrl.coeff_max)
 
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))

@@ -346,6 +346,42 @@ class TestSpectralActor:
         assert np.isfinite(np.asarray(a)).all()
         assert (np.abs(np.asarray(a)) <= 1.0 + 1e-6).all()
 
+    def test_v_order_extends_feature_layout(self):
+        """v_order=1 must reproduce the original feature layout exactly (the
+        committed round-2 actors were trained on it); higher orders append
+        the next Vlasov-hierarchy moments with the documented dimension."""
+        from plasma_control_tpu.control.rl.networks import SpectralEncoder
+
+        x = jnp.concatenate([
+            jax.random.uniform(jax.random.PRNGKey(0), (3, 100)) * 50.0,
+            jax.random.normal(jax.random.PRNGKey(1), (3, 100)),
+        ], axis=-1)
+        outs = {}
+        for order in (1, 2, 3):
+            enc = SpectralEncoder(n_modes=6, length=50.0, v_order=order)
+            outs[order] = enc.apply(enc.init(jax.random.PRNGKey(2), x), x)
+            assert outs[order].shape == (3, 2 * (order + 1) * 6 + (order + 1))
+        # original layout: per mode [c, s, vc, vs], then bulk [<v>, <v^2>] —
+        # exactly v_order=1's "for w in (1, v)" ordering
+        q, p = x[:, :100], x[:, 100:]
+        ang = q * (2.0 * jnp.pi / 50.0)
+        c1, s1 = jnp.cos(ang), jnp.sin(ang)
+        ref, c_prev, s_prev = [], c1, s1
+        for m in range(6):
+            if m > 0:
+                c_prev, s_prev = c_prev * c1 - s_prev * s1, s_prev * c1 + c_prev * s1
+            ref += [jnp.mean(c_prev, -1), jnp.mean(s_prev, -1),
+                    jnp.mean(p * c_prev, -1), jnp.mean(p * s_prev, -1)]
+        ref += [jnp.mean(p, -1), jnp.mean(p * p, -1)]
+        np.testing.assert_allclose(
+            np.asarray(outs[1]), np.asarray(jnp.stack(ref, -1)), rtol=1e-6, atol=1e-6
+        )
+        # order-2 adds pressure moments: its first 2 per-mode entries match
+        # order-1's (same density plane leads each mode block)
+        np.testing.assert_allclose(
+            np.asarray(outs[2][:, 0:2]), np.asarray(outs[1][:, 0:2]), rtol=1e-6
+        )
+
     def test_dagger_with_spectral_encoder_runs(self):
         """DAgger with the spectral actor (DDPGConfig.encoder='spectral')."""
         from plasma_control_tpu.control.rl.dagger import dagger_train
