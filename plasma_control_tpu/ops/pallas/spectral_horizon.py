@@ -22,6 +22,13 @@ merged-half-kick staggered KDK, same initial un-merged half kick, same
 post-drift PE): the returned (K, H) PE block feeds the identical cost
 assembly (w_field / w_input / w_terminal) in ``candidate_costs``.
 
+Drift variants (``PLASMA_SPECTRAL_DRIFT`` / the ``rot`` argument): the
+default "auto" replaces the per-step position update + periodic wrap +
+cos/sin with a small-angle polynomial rotation of a carried base-harmonic
+phasor whenever the static angle bound holds (see ``_use_rot``) — ~10 VPU
+FMAs instead of two transcendentals per particle-step, agreeing with the
+trig path to fp32 round-off (tests/test_pallas.py::TestSpectralDrift).
+
 Padding: particles are padded to a lane multiple with x=0, v=0 and a zero
 mask folded into the per-step cos/sin — a masked particle's recurrence
 values are identically zero, so it contributes nothing to any mode sum and
@@ -57,6 +64,27 @@ def _kb_from_env(default: int = 16) -> int:
 _KB = _kb_from_env()
 _VMEM_SCRATCH_BUDGET = 10 * 1024 * 1024
 
+# Drift implementation inside the kernel ("auto" | "rot" | "trig"):
+#   "rot"  — carry the base-harmonic phasor and advance it by a small-angle
+#            polynomial rotation per step (no per-step cos/sin, no wrap);
+#   "trig" — carry x, wrap, and recompute cos/sin per step (the r2 original);
+#   "auto" — "rot" whenever the static angle bound holds (below), else "trig".
+_DRIFT = os.environ.get("PLASMA_SPECTRAL_DRIFT", "auto")
+# |delta| = (2*pi/L)*dt*|v| per step. With |v| <= _V_SAFE (25 thermal widths
+# at the reference's vth=1 — far beyond any populated tail) the 4/5th-order
+# cos/sin polynomials are accurate to < 1e-7, below fp32 trig round-off
+# accumulated over a horizon. The gate is static (dt, L are trace-time
+# constants), so the choice never recompiles per call.
+_V_SAFE = 25.0
+
+
+def _use_rot(dt: float, length: float) -> bool:
+    if _DRIFT == "rot":
+        return True
+    if _DRIFT == "trig":
+        return False
+    return (2.0 * np.pi / length) * dt * _V_SAFE <= 0.5
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -71,7 +99,7 @@ def spectral_horizon_supported(n_particles: int) -> bool:
 def _kernel(
     x0_ref, v0_ref, mask_ref, u0c_ref, u0s_ref, pc_ref, ps_ref, pe_ref,
     *, km: int, horizon: int, dt: float, length: float, g: tuple, inv_k2: tuple,
-    pe_scale: float, kb: int,
+    pe_scale: float, kb: int, rot: bool,
 ):
     c_ang = 2.0 * np.pi / length
     n = x0_ref.shape[1]
@@ -89,8 +117,9 @@ def _kernel(
     raw_c0 = jnp.cos(t0)
     twoc_0 = raw_c0 + raw_c0
     c_prev2, s_prev2 = mask, jnp.zeros_like(mask)  # harmonic 0
-    c_prev = raw_c0 * mask
-    s_prev = jnp.sin(t0) * mask
+    c1_0 = raw_c0 * mask  # harmonic-1 phasor at x0, kept for the rot drift
+    s1_0 = jnp.sin(t0) * mask
+    c_prev, s_prev = c1_0, s1_0
     acc0 = jnp.zeros((kb, n), jnp.float32)
     for m in range(km):
         if m > 0:
@@ -103,21 +132,41 @@ def _kernel(
         pc0 = g[m] * sm + u0c_ref[:, m : m + 1]  # (KB, 1)
         ps0 = -(g[m] * cm) + u0s_ref[:, m : m + 1]
         acc0 = acc0 + pc0 * c_prev + ps0 * s_prev
-    x = jnp.broadcast_to(x0_ref[:], (kb, n))
     vh = v0_ref[:] + 0.5 * dt * (-acc0)  # broadcasts (1,N)+(KB,N)
+    bmask = jnp.broadcast_to(mask, (kb, n))
+    if rot:
+        # rotation-drift state: the base-harmonic phasor (cos(k1 x), sin(k1 x))
+        # per particle, carried instead of x itself — masked lanes start (0, 0)
+        # and every rotation preserves zero
+        c1 = jnp.broadcast_to(c1_0, (kb, n))
+        s1 = jnp.broadcast_to(s1_0, (kb, n))
+    else:
+        x = jnp.broadcast_to(x0_ref[:], (kb, n))
 
     # ---- H merged-kick steps, fully unrolled, state resident in VMEM -------
     inv_l = 1.0 / length
     for t in range(horizon):
-        x = x + dt * vh
-        x = x - length * jnp.floor(x * inv_l)
-        ang = c_ang * x
-        raw_c = jnp.cos(ang)
-        twoc = raw_c + raw_c
-        bmask = jnp.broadcast_to(mask, (kb, n))
+        if rot:
+            # drift as a phasor rotation: ang += c_ang*dt*vh with the
+            # rotation's cos/sin from the small-angle Horner polynomials
+            # (|delta| = c_ang*dt*|v| << 1 — static gate in the wrapper).
+            # Replaces drift + wrap + 2 transcendentals with ~10 VPU FMAs.
+            d = (c_ang * dt) * vh
+            d2 = d * d
+            cd = 1.0 + d2 * (-0.5 + d2 * (1.0 / 24.0))
+            sd = d * (1.0 + d2 * (-1.0 / 6.0 + d2 * (1.0 / 120.0)))
+            c1, s1 = c1 * cd - s1 * sd, s1 * cd + c1 * sd
+            c_prev, s_prev = c1, s1
+            twoc = c1 + c1  # masked lanes: 0 — their Chebyshev chain stays 0
+        else:
+            x = x + dt * vh
+            x = x - length * jnp.floor(x * inv_l)
+            ang = c_ang * x
+            raw_c = jnp.cos(ang)
+            twoc = raw_c + raw_c
+            c_prev = raw_c * mask
+            s_prev = jnp.sin(ang) * mask
         c_prev2, s_prev2 = bmask, jnp.zeros((kb, n), jnp.float32)  # harmonic 0
-        c_prev = raw_c * mask
-        s_prev = jnp.sin(ang) * mask
         acc = jnp.zeros((kb, n), jnp.float32)
         pe = jnp.zeros((kb, 1), jnp.float32)
         for m in range(km):
@@ -142,7 +191,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("length", "dt", "n0", "n_particles", "interpret"),
+    static_argnames=("length", "dt", "n0", "n_particles", "interpret", "rot"),
 )
 def fused_spectral_horizon(
     x0: jax.Array,  # (N,)
@@ -155,6 +204,7 @@ def fused_spectral_horizon(
     n0: float,
     n_particles: int,
     interpret: bool = False,
+    rot: bool | None = None,  # None: PLASMA_SPECTRAL_DRIFT / static angle gate
 ) -> jax.Array:
     """(K, H) exact post-drift spectral-model field energies per candidate."""
     k_cand, horizon, km = u_c.shape
@@ -187,6 +237,7 @@ def fused_spectral_horizon(
         inv_k2=tuple(float(v) for v in 1.0 / (kv * kv)),
         pe_scale=n0**2 / n_particles,
         kb=kb,
+        rot=_use_rot(dt, length) if rot is None else rot,
     )
     bcast = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     per_cand = lambda width: pl.BlockSpec(

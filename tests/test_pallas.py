@@ -146,3 +146,30 @@ class TestPallasTSC:
             ref = deposit(x, grid, kind=kind, method="dense")
             got = deposit(x, grid, kind=kind, method="pallas")
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+class TestSpectralDrift:
+    """Rotation-drift variant of the whole-horizon spectral kernel: the drift
+    advances a carried base-harmonic phasor by a small-angle polynomial
+    rotation instead of recomputing cos/sin of the wrapped position."""
+
+    def test_rot_matches_trig(self):
+        from plasma_control_tpu.ops.pallas.spectral_horizon import fused_spectral_horizon
+
+        key = jax.random.PRNGKey(3)
+        n, k, h, km = 384, 8, 6, 6
+        x = jax.random.uniform(key, (n,)) * L
+        v = jax.random.normal(jax.random.PRNGKey(4), (n,)) * 2.0
+        u_c = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (k, h, km))
+        u_s = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (k, h, km))
+        kw = dict(length=L, dt=0.1, n0=1.0, n_particles=n, interpret=True)
+        pe_trig = np.asarray(fused_spectral_horizon(x, v, u_c, u_s, rot=False, **kw))
+        pe_rot = np.asarray(fused_spectral_horizon(x, v, u_c, u_s, rot=True, **kw))
+        assert np.isfinite(pe_rot).all()
+        np.testing.assert_allclose(pe_rot, pe_trig, rtol=2e-4, atol=1e-6)
+
+    def test_auto_gate_is_static_on_angle_bound(self):
+        from plasma_control_tpu.ops.pallas.spectral_horizon import _use_rot
+
+        assert _use_rot(0.1, 50.0)        # reference shapes: |delta| << 1
+        assert not _use_rot(1.0, 5.0)     # pathological: 25 sigma sweeps > L/2
