@@ -1,0 +1,155 @@
+"""Ahead-of-time artifacts for the MPC solve — the deployment/serving story.
+
+The reference has no deployment path at all (every run re-builds everything
+in-process, `/root/reference/run_ddpg.py:135-186`); this module lets a
+controller be *shipped*: trace/compile once, persist, and bring a fresh
+process (or another host attached to the same TPU topology) to a ready
+solve without re-tracing the framework.
+
+Two artifact kinds, complementary:
+
+* :func:`export_plan` / :func:`load_plan` — **portable StableHLO** via
+  ``jax.export``. The artifact pins shapes/dtypes and the lowering
+  platform; loading skips Python tracing entirely (no framework objects
+  needed). The backend compile still runs at first call — on this repo's
+  setup it is served by the persistent ``.jax_cache`` (DEVNOTES: remote
+  compiles are cached; the residual cold-start is the axon tunnel's
+  executable upload, outside program control).
+* :func:`save_compiled_plan` / :func:`load_compiled_plan` — **pickled XLA
+  executable** (``jax.experimental.serialize_executable``): near-instant
+  load, but valid only on the same topology + compiler version. This is
+  the "warm spare" artifact for elastic recovery of a long control run.
+
+Both wrap the same solve step: ``(x, v, mean, key) -> (action, new_mean,
+best_cost)`` — :func:`plasma_control_tpu.control.mpc.plan` with the static
+configuration closed over, exactly the receding-horizon production step.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ControlConfig, MPCConfig, SimConfig
+from ..control.actuator import FourierActuator
+from ..control.mpc import plan
+from ..models.pic import PlasmaState
+from ..ops.grid import Grid
+
+__all__ = [
+    "plan_step_fn",
+    "plan_example_args",
+    "export_plan",
+    "load_plan",
+    "save_compiled_plan",
+    "load_compiled_plan",
+]
+
+
+def plan_step_fn(
+    grid: Grid,
+    cfg: SimConfig,
+    ctrl: ControlConfig,
+    mpc: MPCConfig,
+    actuator: FourierActuator,
+    sigma: Optional[jax.Array] = None,
+) -> Callable:
+    """The jittable production solve step with all static config closed over:
+    ``(x, v, mean, key) -> (action, new_mean, best_cost)``."""
+    sigma_arr = jnp.asarray(mpc.sigma0 if sigma is None else sigma, jnp.float32)
+
+    def step(x, v, mean, key):
+        return plan(PlasmaState(x, v), mean, sigma_arr, key, grid, cfg, ctrl, mpc, actuator)
+
+    return step
+
+
+def plan_example_args(cfg: SimConfig, ctrl: ControlConfig, mpc: MPCConfig) -> Tuple:
+    """Abstract example arguments fixing the exported shapes/dtypes."""
+    n = cfg.n_particles
+    return (
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((mpc.horizon, ctrl.n_actions), jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+
+
+def export_plan(
+    grid: Grid,
+    cfg: SimConfig,
+    ctrl: ControlConfig,
+    mpc: MPCConfig,
+    actuator: FourierActuator,
+    path: Optional[str] = None,
+) -> bytes:
+    """Serialize the solve step as a portable StableHLO artifact (current
+    default platform). Returns the bytes; writes them to ``path`` if given."""
+    from jax import export as jexport
+
+    fn = jax.jit(plan_step_fn(grid, cfg, ctrl, mpc, actuator))
+    blob = jexport.export(fn)(*plan_example_args(cfg, ctrl, mpc)).serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_plan(blob_or_path) -> Callable:
+    """Load an :func:`export_plan` artifact; returns the callable solve step
+    (no framework tracing — shapes/platform are pinned in the artifact)."""
+    from jax import export as jexport
+
+    if isinstance(blob_or_path, (bytes, bytearray)):
+        blob = bytes(blob_or_path)
+    else:
+        with open(blob_or_path, "rb") as f:
+            blob = f.read()
+    return jexport.deserialize(blob).call
+
+
+def save_compiled_plan(
+    path: str,
+    grid: Grid,
+    cfg: SimConfig,
+    ctrl: ControlConfig,
+    mpc: MPCConfig,
+    actuator: FourierActuator,
+) -> None:
+    """Compile the solve step now and pickle the XLA executable (same
+    topology/compiler only — the fast-resume artifact)."""
+    from jax.experimental import serialize_executable as se
+
+    fn = jax.jit(plan_step_fn(grid, cfg, ctrl, mpc, actuator))
+    compiled = fn.lower(*plan_example_args(cfg, ctrl, mpc)).compile()
+    payload, in_tree, out_tree = se.serialize(compiled)
+    try:  # single-program jit: replicas * partitions devices (normally 1)
+        xe = compiled._executable.xla_executable
+        n_devices = xe.num_replicas * xe.num_partitions
+    except AttributeError:
+        n_devices = 1
+    with open(path, "wb") as f:
+        pickle.dump(
+            {"payload": payload, "in_tree": in_tree, "out_tree": out_tree,
+             "num_devices": n_devices},
+            f,
+        )
+
+
+def load_compiled_plan(path: str) -> Callable:
+    """Load a :func:`save_compiled_plan` executable (near-instant; raises if
+    the topology/compiler no longer matches)."""
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    # bind to exactly as many devices as the program was compiled for —
+    # otherwise the loader binds the whole client (e.g. the 8-virtual-device
+    # CI mesh) and execution rejects single-shard arguments
+    devs = jax.devices()[: d.get("num_devices", 1)]
+    return se.deserialize_and_load(
+        d["payload"], d["in_tree"], d["out_tree"], execution_devices=devs
+    )
