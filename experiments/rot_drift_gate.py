@@ -1,0 +1,63 @@
+"""Quality gate for the rotation-drift spectral kernel (PLASMA_SPECTRAL_DRIFT).
+
+The rot drift replaces per-step cos/sin + wrap with a small-angle polynomial
+phasor rotation (ops/pallas/spectral_horizon.py) and measured 1.75x on the
+headline solve (trig 1508 -> rot 2638 solves/s at K384.H6.w4.Km8, TPU v5e
+2026-08-20 — the per-step transcendentals, not the mode MACs, were the
+dominant cost). Per-solve candidate costs agree with the trig path to fp32
+round-off (tests/test_pallas.py::TestSpectralDrift, rtol 2e-4), so elite
+selection is essentially unchanged; this gate confirms the closed-loop
+suppression statistics at the BASELINE config-3 shapes stay seed-paired
+equal before "auto" keeps rot as the production default (the policy of
+experiments/bench_fidelity_study.py).
+
+Run twice: PLASMA_SPECTRAL_DRIFT=trig python experiments/rot_drift_gate.py
+           PLASMA_SPECTRAL_DRIFT=rot  python experiments/rot_drift_gate.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if __name__ == "__main__":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+    from plasma_control_tpu.control.actuator import make_actuator
+    from plasma_control_tpu.control.mpc import mpc_rollout
+    from plasma_control_tpu.models.pic import init_state
+    from plasma_control_tpu.ops.grid import make_grid
+
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    only_case = sys.argv[2] if len(sys.argv) > 2 else None
+    mode = os.environ.get("PLASMA_SPECTRAL_DRIFT", "auto")
+    ctrl = ControlConfig(max_mode=4)
+    mpc = MPCConfig(n_candidates=384, horizon=6, w_terminal=4.0, plan_modes=8,
+                    plan_kernel="fused")
+
+    for case in ("bump-on-tail", "two-stream"):
+        if only_case and case != only_case:
+            continue
+        cfg = SimConfig(simcase=case, n_particles=5000, n_mesh=250,
+                        dt=0.1, t_max=50.0, length=50.0)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        tails, ies = [], []
+        for s in range(n_seeds):
+            st = init_state(cfg, jax.random.PRNGKey(100 + s))
+            out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(s))
+            tails.append(float(jnp.mean(out.field_energy[-100:])))
+            ies.append(float(jnp.mean(out.input_energy)))
+        print(f"{case:13s} drift={mode:4s} K384.H6.w4.Km8 tails",
+              [round(t, 1) for t in tails],
+              "mean", round(float(np.mean(tails)), 1),
+              "IE", round(float(np.mean(ies)), 2), flush=True)
+
+# Result: recorded below after the paired TPU runs (see DEVNOTES).
