@@ -72,9 +72,16 @@ _VMEM_SCRATCH_BUDGET = 10 * 1024 * 1024
 _DRIFT = os.environ.get("PLASMA_SPECTRAL_DRIFT", "auto")
 # |delta| = (2*pi/L)*dt*|v| per step. With |v| <= _V_SAFE (25 thermal widths
 # at the reference's vth=1 — far beyond any populated tail) the 4/5th-order
-# cos/sin polynomials are accurate to < 1e-7, below fp32 trig round-off
-# accumulated over a horizon. The gate is static (dt, L are trace-time
-# constants), so the choice never recompiles per call.
+# cos/sin polynomials have truncation error ~ delta^6/720: < 2.2e-5 at the
+# |delta| <= 0.5 gate bound (worst case; < 1e-7 only for |delta| <~ 0.15).
+# At the bench shapes dt*(2*pi/L)*v is <= 0.5 only for the extreme-tail
+# velocities, so the TYPICAL per-step error is far below fp32 trig
+# round-off; the H-step accumulated worst case stays within the fp32
+# equivalence test's 2e-4 rtol (tests/test_pallas.py::TestSpectralDrift)
+# and closed-loop suppression is seed-paired equal to the trig path
+# (experiments/rot_drift_gate.py — gate results in DEVNOTES). The gate is
+# static (dt, L are trace-time constants), so the choice never recompiles
+# per call.
 _V_SAFE = 25.0
 
 

@@ -40,6 +40,15 @@ def main():
                    help="env steps between full controller-state checkpoints (0 = off)")
     p.add_argument("--checkpoint_path", type=str, default=None)
     p.add_argument("--no_resume", action="store_true", help="ignore an existing checkpoint")
+    p.add_argument("--aot", type=str, default=None, metavar="ARTIFACT",
+                   help="run the closed loop through an AOT control-step artifact "
+                        "(io/aot.py: .stablehlo from export_plan(kind='control_step'), "
+                        "or .pkl from save_compiled_plan) instead of tracing/compiling "
+                        "the framework — the cold-start/serving path. Shapes are pinned "
+                        "by the artifact and must match the flags.")
+    p.add_argument("--save_aot", type=str, default=None, metavar="PATH",
+                   help="build + save the control-step artifact for this configuration "
+                        "and exit (.pkl -> pickled XLA executable, else StableHLO)")
     args = vars(p.parse_args())
     cfg = build_sim_config(args)
     ctrl = build_control_config(args)
@@ -48,6 +57,26 @@ def main():
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
     actuator = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode, endpoint_grid=ctrl.endpoint_grid)
     state = init_state(cfg, jax.random.PRNGKey(cfg.seed))
+
+    if args["save_aot"]:
+        import time
+
+        from plasma_control_tpu.io.aot import export_plan, save_compiled_plan
+
+        t0 = time.perf_counter()
+        if args["save_aot"].endswith(".pkl"):
+            save_compiled_plan(args["save_aot"], grid, cfg, ctrl, mpc, actuator,
+                               kind="control_step")
+        else:
+            export_plan(grid, cfg, ctrl, mpc, actuator, path=args["save_aot"],
+                        kind="control_step")
+        print(f"# AOT control-step artifact written to {args['save_aot']} "
+              f"({time.perf_counter() - t0:.1f}s)")
+        return
+
+    if args["aot"] and args["checkpoint_every"]:
+        raise SystemExit("--aot runs a host loop over a fixed artifact; use the "
+                         "traced path for --checkpoint_every segmented resume")
 
     from plasma_control_tpu.control.mpc import _plan_frac, plan_fidelity_check
 
@@ -72,7 +101,21 @@ def main():
                 "quiet/saturated plasmas."
             )
 
-    if args["checkpoint_every"]:
+    if args["aot"]:
+        import time
+
+        from plasma_control_tpu.io.aot import (
+            aot_mpc_rollout, load_compiled_plan, load_plan)
+
+        t0 = time.perf_counter()
+        loader = load_compiled_plan if args["aot"].endswith(".pkl") else load_plan
+        ctrl_step = loader(args["aot"])
+        print(f"# AOT artifact loaded in {time.perf_counter() - t0:.1f}s "
+              f"(no framework tracing)")
+        out = aot_mpc_rollout(ctrl_step, state, jax.random.PRNGKey(cfg.seed + 1),
+                              cfg.n_steps, mpc.horizon, ctrl.n_actions)
+        coeffs = out.coeffs
+    elif args["checkpoint_every"]:
         from plasma_control_tpu.io.resume import resumable_mpc_rollout
 
         ck = args["checkpoint_path"] or f"checkpoints/{args['simcase']}-mpc"

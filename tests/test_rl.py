@@ -406,11 +406,20 @@ class TestLearnedSuppression:
     Thresholds sit well inside the measured 3-seed spread recorded in
     artifacts/results_r2/matrix.json (two-stream dagger tail PE 86-96 vs
     uncontrolled ~1100; bump-on-tail 11.2-12.3 vs uncontrolled 17-38).
+
+    Gate design (VERDICT r2 weak #3): for two-stream both prongs bite
+    (tail_abs=250 and <25% of uncontrolled ~1100). For bump-on-tail the
+    ABSOLUTE bound (15.0, vs the measured 11.2-12.3 actor spread) is the
+    gate; a fractional prong is omitted because the uncontrolled tail's own
+    seed spread (17-38 — the quiet case saturates near the screened noise
+    floor) makes any falsifiable fraction seed-fragile: 0.6x would fail a
+    healthy 11.5 actor against a 17 uncontrolled draw, while the previous
+    0.95x was vacuous next to the absolute bound.
     """
 
     @pytest.mark.parametrize(
         "simcase,tail_abs,tail_frac",
-        [("two-stream", 250.0, 0.25), ("bump-on-tail", 15.0, 0.95)],
+        [("two-stream", 250.0, 0.25), ("bump-on-tail", 15.0, None)],
     )
     def test_committed_dagger_actor_suppresses(self, simcase, tail_abs, tail_frac):
         import os
@@ -455,6 +464,7 @@ class TestLearnedSuppression:
         tail_u = uncontrolled[-k:].mean()
         assert np.isfinite(controlled).all()
         assert tail_c < tail_abs, f"tail PE {tail_c:.1f} >= {tail_abs}"
-        assert tail_c < tail_frac * tail_u, (
-            f"tail PE {tail_c:.1f} not below {tail_frac} x uncontrolled {tail_u:.1f}"
-        )
+        if tail_frac is not None:
+            assert tail_c < tail_frac * tail_u, (
+                f"tail PE {tail_c:.1f} not below {tail_frac} x uncontrolled {tail_u:.1f}"
+            )
