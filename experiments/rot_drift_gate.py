@@ -37,6 +37,7 @@ if __name__ == "__main__":
 
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     only_case = sys.argv[2] if len(sys.argv) > 2 else None
+    seed0 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     mode = os.environ.get("PLASMA_SPECTRAL_DRIFT", "auto")
     ctrl = ControlConfig(max_mode=4)
     mpc = MPCConfig(n_candidates=384, horizon=6, w_terminal=4.0, plan_modes=8,
@@ -50,7 +51,7 @@ if __name__ == "__main__":
         grid = make_grid(cfg.n_mesh, cfg.length)
         act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
         tails, ies = [], []
-        for s in range(n_seeds):
+        for s in range(seed0, seed0 + n_seeds):
             st = init_state(cfg, jax.random.PRNGKey(100 + s))
             out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(s))
             tails.append(float(jnp.mean(out.field_energy[-100:])))
