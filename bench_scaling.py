@@ -134,7 +134,6 @@ def config3():
 
     from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
     from plasma_control_tpu.control.actuator import make_actuator
-    from plasma_control_tpu.control.mpc import plan
     from plasma_control_tpu.models.pic import init_state
     from plasma_control_tpu.ops.grid import make_grid
 
@@ -143,33 +142,24 @@ def config3():
     # on both cases — experiments/bench_k_study.py 2026-08-20; H=6 +
     # w_terminal=4 == H=8 re-gated at 8 seeds). Subsampled planning pumps
     # this quiet case (DEVNOTES 2026-08-19) so both rows are full fidelity.
+    from plasma_control_tpu.utils.timing import mpc_solve_rate
+
     cfg = SimConfig(simcase="bump-on-tail", n_particles=5000, n_mesh=250, dt=0.1)
     ctrl = ControlConfig(max_mode=4)
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     st = init_state(cfg, jax.random.PRNGKey(0))
-    reps = 50
 
     for label, k_cand in (("spec-K512", 512), ("gated-K384", 384)):
         mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=k_cand, plan_modes=8)
-        mean = jnp.zeros((mpc.horizon, ctrl.n_actions), jnp.float32)
-        sigma = jnp.asarray(mpc.sigma0, jnp.float32)
-
-        @jax.jit
-        def chain(s, m, k, mpc=mpc):
-            def body(carry, kk):
-                a, nm, best = plan(s, carry, sigma, kk, grid, cfg, ctrl, mpc, act)
-                return nm, best
-
-            _, bests = jax.lax.scan(body, m, jax.random.split(k, reps))
-            return bests
-
-        np.asarray(chain(st, mean, jax.random.PRNGKey(1)))
-        t0 = time.perf_counter()
-        np.asarray(chain(st, mean, jax.random.PRNGKey(2)))
-        _emit("3-mpc-1chip", reps / (time.perf_counter() - t0), "solves/s",
+        # the canonical two-length chain slope (utils/timing.py) — the same
+        # methodology as bench.py, so this row and the headline agree
+        # (earlier rounds' single-chain wall clock under-reported by the
+        # per-launch tunnel constant, DEVNOTES measurement quirk)
+        res = mpc_solve_rate(st, grid, cfg, ctrl, mpc, act)
+        _emit("3-mpc-1chip", res["solves_per_s"], "solves/s",
               K=k_cand, H=mpc.horizon, variant=label,
-              note="wall-clock incl. per-launch tunnel latency; bench.py's slope method is canonical")
+              compile_s=round(res["compile_s"], 1))
 
 
 def config4():
@@ -178,7 +168,6 @@ def config4():
 
     from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
     from plasma_control_tpu.control.actuator import make_actuator
-    from plasma_control_tpu.control.mpc import plan
     from plasma_control_tpu.models.pic import init_state
     from plasma_control_tpu.ops.grid import make_grid
 
@@ -186,29 +175,19 @@ def config4():
     # of 100k) is only *control-quality*-safe in strong-signal regimes, so
     # this config runs the two-stream case (coherent PE >> noise floor —
     # DEVNOTES 2026-08-19); the solve rate itself is simcase-independent.
+    from plasma_control_tpu.utils.timing import mpc_solve_rate
+
     cfg = SimConfig(simcase="two-stream", n_particles=100_000, n_mesh=256, dt=0.1)
     ctrl = ControlConfig(max_mode=8)
     mpc = MPCConfig(horizon=10, n_candidates=4096, plan_particles=2048, plan_mesh=64)
     grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     st = init_state(cfg, jax.random.PRNGKey(0))
-    mean = jnp.zeros((mpc.horizon, ctrl.n_actions), jnp.float32)
-    sigma = jnp.asarray(mpc.sigma0, jnp.float32)
-    reps = 10
-
-    @jax.jit
-    def chain(s, m, k):
-        def body(carry, kk):
-            a, nm, best = plan(s, carry, sigma, kk, grid, cfg, ctrl, mpc, act)
-            return nm, best
-
-        _, bests = jax.lax.scan(body, m, jax.random.split(k, reps))
-        return bests
-
-    np.asarray(chain(st, mean, jax.random.PRNGKey(1)))
-    t0 = time.perf_counter()
-    np.asarray(chain(st, mean, jax.random.PRNGKey(2)))
-    _emit("4-mpc-joint", reps / (time.perf_counter() - t0), "solves/s", K=4096, H=10, N=100_000)
+    # slope method (see config3 note): r2's recorded 85.5 solves/s for this
+    # row was single-chain wall clock, polluted by the per-launch constant
+    res = mpc_solve_rate(st, grid, cfg, ctrl, mpc, act, r1=2, r2=22)
+    _emit("4-mpc-joint", res["solves_per_s"], "solves/s", K=4096, H=10,
+          N=100_000, compile_s=round(res["compile_s"], 1))
 
 
 def config5():
