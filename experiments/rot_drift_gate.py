@@ -61,4 +61,31 @@ if __name__ == "__main__":
               "mean", round(float(np.mean(tails)), 1),
               "IE", round(float(np.mean(ies)), 2), flush=True)
 
-# Result: recorded below after the paired TPU runs (see DEVNOTES).
+# Result (TPU v5e, 2026-08-21, K384.H6.w4.Km8 bench scale; raw logs in
+# artifacts/results_r3/rot_gate_*.log):
+#
+#   bump-on-tail, 8 paired seeds:  trig 13.3 (11.1-14.9)  rot 13.7 (11.9-15.6)
+#     IE 13.05 vs 12.9  ->  seed-paired EQUAL. rot PASSES on this case.
+#
+#   two-stream, 40 paired seeds (batches of 8/8/8/16):
+#     trig mean 32.1, median 26.7, >70 outliers 2/40
+#     rot  mean 36.2, median 29.5, >70 outliers 5/40
+#     paired diff +4.13 +- 2.69 (SE), t=+1.54 p=0.13, Wilcoxon p=0.19,
+#     sign 22/40; 95% CI on the mean diff [-4%, +30%] of the trig mean.
+#     NOT significant, but equality CANNOT be certified and the point
+#     estimate matches the +18% that disqualified K=256 (r2 K study).
+#     rot FAILS the gate on this case.
+#
+# Decision: PLASMA_SPECTRAL_DRIFT default flipped "auto" -> "trig"
+# (ops/pallas/spectral_horizon.py); "rot" is a per-case opt-in via
+# MPCConfig.spectral_drift / --spectral_drift. bench.py opts in for its
+# gated bump-on-tail case and also records the trig rate
+# (BENCH_DETAILS.json: mpc_solves_per_s_trig). Mechanism probe
+# (experiments/rot_cost_probe.py, TPU, mid-instability two-stream t=15 at
+# bench scale): per-candidate costs differ by <= 2.9e-7 relative,
+# Spearman rank 1.000, elite-64 overlap 64/64, same argmin, no
+# significant cost-level bias (t=-1.8) — single solves pick essentially
+# identical actions, so the closed-loop spread is chaotic amplification
+# of rare quality-neutral elite flips. That is exactly why only the
+# paired closed-loop statistic can gate a kernel change here, and why
+# equality is hard to certify on the chaotic case.

@@ -103,6 +103,12 @@ def add_mpc_args(p: argparse.ArgumentParser):
                         "field energy (value-function tail estimate; lets "
                         "shorter horizons rank like long ones down to H~5-6 — "
                         "experiments/horizon_study.py). 0 = off")
+    p.add_argument("--spectral_drift", type=str, default=None,
+                   choices=["trig", "rot", "auto"],
+                   help="drift variant inside the fused spectral horizon kernel: "
+                        "rot is ~1.75x faster and quality-gated equal on "
+                        "bump-on-tail but NOT certified on two-stream "
+                        "(experiments/rot_drift_gate.py); default = trig")
     p.add_argument("--terminal_mode", type=str, default="const",
                    choices=["const", "growth"],
                    help="terminal tail estimator: 'const' = flat --w_terminal "
@@ -170,6 +176,7 @@ def build_mpc_config(args: dict) -> MPCConfig:
         plan_modes=args.get("plan_modes", 16),
         w_terminal=args.get("w_terminal", 0.0),
         terminal_mode=args.get("terminal_mode", "const"),
+        spectral_drift=args.get("spectral_drift"),
         terminal_steps=args.get("terminal_steps", 4),
         antithetic=not args.get("no_antithetic", False),
     )

@@ -193,6 +193,18 @@ class MPCConfig:
     # every step (~80 MB/step at the full-fidelity bench shapes);
     # measured rates: experiments/bench_spectral_kernel.py / DEVNOTES.
     plan_kernel: Literal["auto", "xla", "fused", "packed"] = "auto"
+    # Drift variant inside the fused spectral horizon kernel. None defers to
+    # the PLASMA_SPECTRAL_DRIFT env var (default "trig"); "rot" enables the
+    # small-angle phasor-rotation drift — ~1.75x faster solves at the bench
+    # shapes, fp32-cost-equal per solve, and closed-loop quality-gated
+    # seed-paired EQUAL on bump-on-tail (8 paired seeds, 13.3 vs 13.7) but
+    # NOT certifiable on two-stream (40 paired seeds: +13% mean tail PE,
+    # 95% CI -4%..+30%, heavier >70-outlier mass — experiments/
+    # rot_drift_gate.py, DEVNOTES 2026-08-21). Opt into "rot" for
+    # quiet/saturated regimes (bench.py does for its gated bump-on-tail
+    # case); keep "trig" for growing phase-critical instabilities. "auto"
+    # applies only the static ACCURACY angle gate, not a quality gate.
+    spectral_drift: Optional[Literal["trig", "rot", "auto"]] = None
     # Planning *dynamics* model. "spectral" (default) = gridless low-mode
     # dynamics: the self-field is the truncated Fourier series of the exact
     # point-particle density (continuum Poisson mode-by-mode), deposit and

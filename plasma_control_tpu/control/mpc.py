@@ -670,7 +670,7 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
     if mpc.plan_model == "spectral" and _use_spectral_fused(
         mpc.plan_kernel, cfg.n_particles, jax.default_backend()
     ):
-        from ..ops.pallas.spectral_horizon import fused_spectral_horizon
+        from ..ops.pallas.spectral_horizon import _use_rot, fused_spectral_horizon
         ka = actuator.max_mode
         km = max(int(mpc.plan_modes), ka)
         dtype = coeff_seqs.dtype
@@ -680,12 +680,17 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
                 [u_half, jnp.zeros(u_half.shape[:-1] + (km - ka,), dtype)], axis=-1
             )
 
+        # config override of the kernel drift (None = env default "trig";
+        # see MPCConfig.spectral_drift for the per-case quality gate)
+        rot = (None if mpc.spectral_drift is None
+               else _use_rot(cfg.clamped_dt(), cfg.length, mpc.spectral_drift))
         pe = fused_spectral_horizon(
             state.x, state.v,
             pad(coeff_seqs[..., :ka]), pad(coeff_seqs[..., ka:]),
             length=cfg.length, dt=cfg.clamped_dt(), n0=cfg.n0,
             n_particles=cfg.n_particles,
             interpret=jax.default_backend() != "tpu",
+            rot=rot,
         )  # (K, H) exact post-drift spectral-model PE
         ie = actuator.input_energy(coeff_seqs)  # (K, H)
         total = _add_terminal(jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1), pe, mpc)

@@ -22,12 +22,16 @@ merged-half-kick staggered KDK, same initial un-merged half kick, same
 post-drift PE): the returned (K, H) PE block feeds the identical cost
 assembly (w_field / w_input / w_terminal) in ``candidate_costs``.
 
-Drift variants (``PLASMA_SPECTRAL_DRIFT`` / the ``rot`` argument): the
-default "auto" replaces the per-step position update + periodic wrap +
-cos/sin with a small-angle polynomial rotation of a carried base-harmonic
-phasor whenever the static angle bound holds (see ``_use_rot``) — ~10 VPU
-FMAs instead of two transcendentals per particle-step, agreeing with the
-trig path to fp32 round-off (tests/test_pallas.py::TestSpectralDrift).
+Drift variants (``PLASMA_SPECTRAL_DRIFT`` / the ``rot`` argument /
+``MPCConfig.spectral_drift``): "rot" replaces the per-step position update
++ periodic wrap + cos/sin with a small-angle polynomial rotation of a
+carried base-harmonic phasor — ~10 VPU FMAs instead of two transcendentals
+per particle-step (~1.75x faster solves), agreeing with the trig path to
+fp32 round-off per solve (tests/test_pallas.py::TestSpectralDrift). The
+DEFAULT is "trig": the 40-seed closed-loop gate certified rot seed-paired
+equal on bump-on-tail but could not certify it on the phase-critical
+two-stream case (see the ``_DRIFT`` comment + DEVNOTES 2026-08-21); "rot"
+is the documented per-case opt-in for quiet/saturated regimes.
 
 Padding: particles are padded to a lane multiple with x=0, v=0 and a zero
 mask folded into the per-step cos/sin — a masked particle's recurrence
@@ -64,12 +68,23 @@ def _kb_from_env(default: int = 16) -> int:
 _KB = _kb_from_env()
 _VMEM_SCRATCH_BUDGET = 10 * 1024 * 1024
 
-# Drift implementation inside the kernel ("auto" | "rot" | "trig"):
+# Drift implementation inside the kernel ("trig" | "rot" | "auto"):
 #   "rot"  — carry the base-harmonic phasor and advance it by a small-angle
 #            polynomial rotation per step (no per-step cos/sin, no wrap);
+#            ~1.75x faster solves at the bench shapes;
 #   "trig" — carry x, wrap, and recompute cos/sin per step (the r2 original);
 #   "auto" — "rot" whenever the static angle bound holds (below), else "trig".
-_DRIFT = os.environ.get("PLASMA_SPECTRAL_DRIFT", "auto")
+#
+# DEFAULT: "trig" (changed 2026-08-21). The closed-loop quality gate
+# (experiments/rot_drift_gate.py, 40 paired seeds at bench scale) certified
+# rot seed-paired EQUAL on bump-on-tail (means 13.3 vs 13.7, 8 seeds) but
+# NOT on two-stream: rot tail PE +13% mean (95% CI -4%..+30%, Wilcoxon
+# p=0.19, >70 outliers 5 vs 2) — not significant, but equality cannot be
+# certified and the point estimate matches the +18% that disqualified
+# K=256 (DEVNOTES r2 K study). Per-case opt-in: set
+# MPCConfig.spectral_drift="rot" (or this env var) for quiet/saturated
+# regimes — bench.py does, for its gated bump-on-tail case.
+_DRIFT = os.environ.get("PLASMA_SPECTRAL_DRIFT", "trig")
 # |delta| = (2*pi/L)*dt*|v| per step. With |v| <= _V_SAFE (25 thermal widths
 # at the reference's vth=1 — far beyond any populated tail) the 4/5th-order
 # cos/sin polynomials have truncation error ~ delta^6/720: < 2.2e-5 at the
@@ -85,10 +100,14 @@ _DRIFT = os.environ.get("PLASMA_SPECTRAL_DRIFT", "auto")
 _V_SAFE = 25.0
 
 
-def _use_rot(dt: float, length: float) -> bool:
-    if _DRIFT == "rot":
+def _use_rot(dt: float, length: float, mode: str | None = None) -> bool:
+    """Resolve the drift choice: ``mode`` overrides the env default; "auto"
+    applies the static angle bound (an ACCURACY gate only — it does not
+    certify closed-loop quality, see the _DRIFT comment)."""
+    mode = _DRIFT if mode is None else mode
+    if mode == "rot":
         return True
-    if _DRIFT == "trig":
+    if mode == "trig":
         return False
     return (2.0 * np.pi / length) * dt * _V_SAFE <= 0.5
 

@@ -171,5 +171,43 @@ class TestSpectralDrift:
     def test_auto_gate_is_static_on_angle_bound(self):
         from plasma_control_tpu.ops.pallas.spectral_horizon import _use_rot
 
-        assert _use_rot(0.1, 50.0)        # reference shapes: |delta| << 1
-        assert not _use_rot(1.0, 5.0)     # pathological: 25 sigma sweeps > L/2
+        assert _use_rot(0.1, 50.0, "auto")     # reference shapes: |delta| << 1
+        assert not _use_rot(1.0, 5.0, "auto")  # pathological: 25σ sweeps > L/2
+
+    def test_default_is_trig(self):
+        """Quality-gate outcome (40 paired seeds, DEVNOTES 2026-08-21): rot
+        could not be certified seed-paired equal on two-stream, so the safe
+        default is trig; rot is per-case opt-in (MPCConfig.spectral_drift)."""
+        import os
+
+        from plasma_control_tpu.ops.pallas.spectral_horizon import _use_rot
+
+        if os.environ.get("PLASMA_SPECTRAL_DRIFT"):
+            pytest.skip("env override active")
+        assert not _use_rot(0.1, 50.0)
+
+    def test_config_plumbs_drift_choice(self):
+        """MPCConfig.spectral_drift reaches the kernel through
+        candidate_costs (rot vs trig produce the tested fp32-equal costs,
+        and an explicit 'rot' actually flips the code path)."""
+        from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+        from plasma_control_tpu.control.actuator import make_actuator
+        from plasma_control_tpu.control.mpc import candidate_costs
+        from plasma_control_tpu.models.pic import init_state
+        from plasma_control_tpu.ops.grid import make_grid
+
+        cfg = SimConfig(n_particles=300, n_mesh=32, dt=0.1, t_max=5.0)
+        ctrl = ControlConfig(max_mode=2)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 4, ctrl.n_actions))
+        costs = {}
+        for drift in ("trig", "rot"):
+            mpc = MPCConfig(horizon=4, n_candidates=8, plan_modes=4,
+                            plan_kernel="fused", spectral_drift=drift)
+            costs[drift] = np.asarray(candidate_costs(st, cand, grid, cfg, mpc, act))
+        assert np.isfinite(costs["rot"]).all()
+        np.testing.assert_allclose(costs["rot"], costs["trig"], rtol=2e-4, atol=1e-6)
+        # not bit-identical: the rot path must actually be different code
+        assert not np.array_equal(costs["rot"], costs["trig"])
