@@ -6,15 +6,15 @@ M=250, t_max=50, max_mode=3 — `/root/reference/run_ddpg.py:27-61`) over
 several seeds on the attached device, and commits the quantitative
 evidence the reference only ships as PDFs (`/root/reference/result/`):
 
-* ``artifacts/results_r2/matrix.json`` — per-run field-energy traces
+* ``artifacts/results_r<N>/matrix.json`` — per-run field-energy traces
   (decimated), tail PE, input energy, and the log-E2 damping-rate
   regression (`/root/reference/src/interpret/landau.py:44-75` semantics)
   over the controlled window;
-* ``artifacts/results_r2/log_E_<case>.pdf`` — overlay of log <E^2>(t) for
+* ``artifacts/results_r<N>/log_E_<case>.pdf`` — overlay of log <E^2>(t) for
   all four controllers (the reference's headline verification plot,
   `/root/reference/src/plot.py:551-595`).
 
-Run: python experiments/results_matrix.py [n_seeds]
+Run: python experiments/results_matrix.py [n_seeds] [outdir_name]
 """
 
 import json
@@ -46,15 +46,19 @@ if __name__ == "__main__":
 
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(root, "artifacts", "results_r2")
+    outdir = os.path.join(root, "artifacts",
+                          sys.argv[2] if len(sys.argv) > 2 else "results_r3")
     os.makedirs(outdir, exist_ok=True)
 
     ctrl = ControlConfig(max_mode=3)
-    # the quality-gated bench planner config (experiments/bench_growth_study)
-    mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=512, plan_modes=8)
 
     matrix = {}
     for simcase in ("two-stream", "bump-on-tail"):
+        # the quality-gated bench planner config (experiments/bench_growth_study)
+        # with the PER-CASE gated kernel drift (experiments/rot_drift_gate.py,
+        # 2026-08-21: rot passes on bump-on-tail only; trig elsewhere)
+        mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=512, plan_modes=8,
+                        spectral_drift="rot" if simcase == "bump-on-tail" else "trig")
         cfg = SimConfig(simcase=simcase, n_particles=5000, n_mesh=250,
                         dt=0.1, t_max=50.0, length=50.0)
         grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
@@ -136,7 +140,9 @@ if __name__ == "__main__":
 
     meta = {
         "config": "N=5000 M=250 t_max=50 dt=0.1 max_mode=3 (reference run_ddpg defaults)",
-        "mpc": "H=6 w_terminal=4 K=512 Km=8 full-fidelity spectral (bench-gated)",
+        "mpc": "H=6 w_terminal=4 K=512 Km=8 full-fidelity spectral (bench-gated); "
+               "spectral_drift per-case: rot on bump-on-tail (gated equal), trig "
+               "on two-stream (rot_drift_gate 2026-08-21)",
         "dagger": "spectral-encoder amortized-MPC actor, committed weights "
                   "artifacts/dagger_actor_<case>.msgpack (run_dagger.py --optimize)",
         "n_seeds": n_seeds,
