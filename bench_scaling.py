@@ -150,8 +150,15 @@ def config3():
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     st = init_state(cfg, jax.random.PRNGKey(0))
 
-    for label, k_cand in (("spec-K512", 512), ("gated-K384", 384)):
-        mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=k_cand, plan_modes=8)
+    for label, k_cand, drift in (
+        ("spec-K512", 512, None),
+        ("gated-K384", 384, None),
+        # rot drift: quality-gated seed-paired equal on THIS (bump-on-tail)
+        # case — the bench.py headline configuration (rot_drift_gate.py)
+        ("gated-K384-rot", 384, "rot"),
+    ):
+        mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=k_cand,
+                        plan_modes=8, spectral_drift=drift)
         # the canonical two-length chain slope (utils/timing.py) — the same
         # methodology as bench.py, so this row and the headline agree
         # (earlier rounds' single-chain wall clock under-reported by the
