@@ -403,9 +403,9 @@ class TestLearnedSuppression:
     default workload (N=5000, M=250, t_max=50, max_mode=3), matching the
     capability evidenced by `/root/reference/result/*/ddpg-control/log_E.pdf`.
 
-    Thresholds sit well inside the measured 3-seed spread recorded in
-    artifacts/results_r2/matrix.json (two-stream dagger tail PE 86-96 vs
-    uncontrolled ~1100; bump-on-tail 11.2-12.3 vs uncontrolled 17-38).
+    Thresholds sit well inside the measured 8-seed spread recorded in
+    artifacts/results_r3/matrix.json (two-stream dagger tail PE 69-112 vs
+    uncontrolled ~1170; bump-on-tail 10.6-16.0 vs uncontrolled 17-53).
 
     Gate design (VERDICT r2 weak #3): for two-stream both prongs bite
     (tail_abs=250 and <25% of uncontrolled ~1100). For bump-on-tail the
