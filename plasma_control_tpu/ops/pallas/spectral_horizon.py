@@ -53,16 +53,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_spectral_horizon", "spectral_horizon_supported"]
 
-def _kb_from_env(default: int = 16) -> int:
-    """Candidate tile for tile-size studies (experiments/
-    bench_spectral_kernel.py records measured rates per KB; 16 is the
-    measured best at the bench shapes). Clamped to a positive multiple of 8
-    — the sublane granule — and falls back to the default on garbage."""
+def _kb_from_env() -> int | None:
+    """Candidate-tile override for tile-size studies (experiments/
+    bench_spectral_kernel.py / bench_config4_study.py record measured rates
+    per KB). None (unset) = shape-aware default, see ``_kb_default``.
+    Clamped to a positive multiple of 8 — the sublane granule."""
+    v = os.environ.get("PLASMA_SPECTRAL_KB")
+    if v is None:
+        return None
     try:
-        v = int(os.environ.get("PLASMA_SPECTRAL_KB", default))
+        return max(8, (int(v) // 8) * 8)
     except ValueError:
-        return default
-    return max(8, (v // 8) * 8)
+        return None
+
+
+def _kb_default(n_pad: int) -> int:
+    """Measured-best candidate tile by particle count: KB=16 at the bench
+    shapes (N_pad=5120: 1468 vs 1306 @32 vs 1376 @8 solves/s, r2 sweep);
+    KB=32 at the config-4 shapes (N_pad=2048: 121.8 vs 111.1 @16 vs 96.4
+    @8 — experiments/bench_config4_study.py 2026-08-21). Smaller particle
+    blocks leave VMEM headroom for a taller candidate tile, which amortizes
+    the per-tile x0 recurrence and scheduling overhead."""
+    return 32 if n_pad <= 2048 else 16
 
 
 _KB = _kb_from_env()
@@ -119,7 +131,8 @@ def _round_up(x: int, m: int) -> int:
 def spectral_horizon_supported(n_particles: int) -> bool:
     """True if the ~8 live (KB, N_pad) fp32 arrays fit the VMEM budget."""
     n_pad = _round_up(n_particles, 128)
-    return 8 * _KB * n_pad * 4 <= _VMEM_SCRATCH_BUDGET
+    kb = _KB if _KB is not None else _kb_default(n_pad)
+    return 8 * kb * n_pad * 4 <= _VMEM_SCRATCH_BUDGET
 
 
 def _kernel(
@@ -235,10 +248,13 @@ def fused_spectral_horizon(
     """(K, H) exact post-drift spectral-model field energies per candidate."""
     k_cand, horizon, km = u_c.shape
     n_pad = _round_up(n_particles, 128)
-    # largest tile <= _KB that divides K (sub-sublane tiles are legal, just
-    # less efficient — keeps sharded local blocks of any size working)
+    # largest tile <= the target that divides K (sub-sublane tiles are legal,
+    # just less efficient — keeps sharded local blocks of any size working);
+    # target = env override or the shape-aware measured default
+    kb_t = _KB if _KB is not None else _kb_default(n_pad)
     kb = next(
-        d for d in dict.fromkeys((_KB, 16, 8, 4, 2, 1)) if d <= _KB and k_cand % d == 0
+        d for d in dict.fromkeys((kb_t, 32, 16, 8, 4, 2, 1))
+        if d <= kb_t and k_cand % d == 0
     )
 
     pad = n_pad - n_particles
