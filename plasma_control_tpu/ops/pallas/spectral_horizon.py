@@ -70,11 +70,12 @@ def _kb_from_env() -> int | None:
 def _kb_default(n_pad: int) -> int:
     """Measured-best candidate tile by particle count: KB=16 at the bench
     shapes (N_pad=5120: 1468 vs 1306 @32 vs 1376 @8 solves/s, r2 sweep);
-    KB=32 at the config-4 shapes (N_pad=2048: 121.8 vs 111.1 @16 vs 96.4
-    @8 — experiments/bench_config4_study.py 2026-08-21). Smaller particle
-    blocks leave VMEM headroom for a taller candidate tile, which amortizes
-    the per-tile x0 recurrence and scheduling overhead."""
-    return 32 if n_pad <= 2048 else 16
+    KB=32 at the config-4 shapes (N_plan=2083 -> N_pad=2176: 121.8 vs
+    111.1 @16 vs 96.4 @8 — experiments/bench_config4_study.py 2026-08-21).
+    Smaller particle blocks leave VMEM headroom for a taller candidate
+    tile, which amortizes the per-tile x0 recurrence and scheduling
+    overhead. Threshold midway between the measured points."""
+    return 32 if n_pad <= 3584 else 16
 
 
 _KB = _kb_from_env()
