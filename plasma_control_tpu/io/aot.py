@@ -27,12 +27,15 @@ configuration closed over, exactly the receding-horizon production step.
 For full closed-loop serving there is also the **control step** —
 ``(x, v, mean, key) -> (x', v', mean', action, pe, ke, ie, best)`` — the
 exact ``lax.scan`` body of :func:`plasma_control_tpu.control.mpc.
-mpc_rollout` (solve + apply + env step + warm-start shift), so a host loop
-over the artifact reproduces ``mpc_rollout`` bit-for-bit
-(tests/test_aot.py::TestControlStep). ``run_mpc.py --aot <artifact>`` runs
-the closed loop this way, and ``bench.py`` measures the fresh-process
-cold-start latency through the committed bench-shape artifact
-(``BENCH_DETAILS.json:cold_start_with_artifact_s``).
+mpc_rollout` (solve + apply + env step + warm-start shift). A host loop
+over the artifact is bit-equal to a host loop over the live jitted step
+(same traced program) and matches the scan-form ``mpc_rollout`` up to
+fp reassociation noise of the two separately compiled programs
+(tests/test_aot.py::TestControlStep measures both contracts).
+``run_mpc.py --aot <artifact>`` runs the closed loop this way, and
+``bench.py`` measures the fresh-process cold-start latency through the
+committed bench-shape artifacts
+(``BENCH_DETAILS.json:cold_start_with_artifact_{exec,stablehlo}``).
 """
 
 from __future__ import annotations
