@@ -67,15 +67,26 @@ def _kb_from_env() -> int | None:
         return None
 
 
-def _kb_default(n_pad: int) -> int:
-    """Measured-best candidate tile by particle count: KB=16 at the bench
-    shapes (N_pad=5120: 1468 vs 1306 @32 vs 1376 @8 solves/s, r2 sweep);
-    KB=32 at the config-4 shapes (N_plan=2083 -> N_pad=2176: 121.8 vs
-    111.1 @16 vs 96.4 @8 — experiments/bench_config4_study.py 2026-08-21).
-    Smaller particle blocks leave VMEM headroom for a taller candidate
-    tile, which amortizes the per-tile x0 recurrence and scheduling
-    overhead. Threshold midway between the measured points."""
-    return 32 if n_pad <= 3584 else 16
+def _kb_default(n_pad: int, rot: bool) -> int:
+    """Measured-best candidate tile (TPU v5e sweeps, 2026-08-21):
+
+    * trig drift: KB=16 at the bench shapes (N_pad=5120: 1468 vs 1306 @32
+      vs 1376 @8 solves/s, r2 sweep), KB=32 at the config-4 shapes
+      (N_plan=2083 -> N_pad=2176: 121.8 vs 111.1 @16 vs 96.4 @8 —
+      experiments/bench_config4_study.py). Smaller particle blocks leave
+      VMEM headroom for a taller candidate tile, which amortizes the
+      per-tile x0 recurrence and scheduling overhead; threshold midway
+      between the measured points.
+    * rot drift: KB=32 wins even at N_pad=5120 (3010 vs 2665 @16 vs 2529
+      @8; KB=48 exceeds VMEM) — the rotation's cheaper per-step work makes
+      the taller tile's amortization dominate at every measured shape.
+
+    Clamped to the VMEM scratch budget (the ~8 live (KB, N_pad) fp32
+    arrays)."""
+    kb = 32 if (rot or n_pad <= 3584) else 16
+    while kb > 8 and 8 * kb * n_pad * 4 > _VMEM_SCRATCH_BUDGET:
+        kb //= 2
+    return kb
 
 
 _KB = _kb_from_env()
@@ -130,9 +141,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def spectral_horizon_supported(n_particles: int) -> bool:
-    """True if the ~8 live (KB, N_pad) fp32 arrays fit the VMEM budget."""
+    """True if the ~8 live (KB, N_pad) fp32 arrays fit the VMEM budget.
+    The default tile self-clamps to the budget, so only an explicit env
+    override can make a shape unsupported."""
     n_pad = _round_up(n_particles, 128)
-    kb = _KB if _KB is not None else _kb_default(n_pad)
+    kb = _KB if _KB is not None else _kb_default(n_pad, rot=False)
     return 8 * kb * n_pad * 4 <= _VMEM_SCRATCH_BUDGET
 
 
@@ -249,10 +262,11 @@ def fused_spectral_horizon(
     """(K, H) exact post-drift spectral-model field energies per candidate."""
     k_cand, horizon, km = u_c.shape
     n_pad = _round_up(n_particles, 128)
+    use_rot = _use_rot(dt, length) if rot is None else rot
     # largest tile <= the target that divides K (sub-sublane tiles are legal,
     # just less efficient — keeps sharded local blocks of any size working);
-    # target = env override or the shape-aware measured default
-    kb_t = _KB if _KB is not None else _kb_default(n_pad)
+    # target = env override or the shape/drift-aware measured default
+    kb_t = _KB if _KB is not None else _kb_default(n_pad, use_rot)
     kb = next(
         d for d in dict.fromkeys((kb_t, 32, 16, 8, 4, 2, 1))
         if d <= kb_t and k_cand % d == 0
@@ -280,7 +294,7 @@ def fused_spectral_horizon(
         inv_k2=tuple(float(v) for v in 1.0 / (kv * kv)),
         pe_scale=n0**2 / n_particles,
         kb=kb,
-        rot=_use_rot(dt, length) if rot is None else rot,
+        rot=use_rot,
     )
     bcast = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     per_cand = lambda width: pl.BlockSpec(
