@@ -186,6 +186,44 @@ class TestSpectralDrift:
             pytest.skip("env override active")
         assert not _use_rot(0.1, 50.0)
 
+    def test_kb_default_heuristic(self):
+        """Shape/drift-aware measured-best candidate tile, VMEM-clamped
+        (experiments/bench_kb_rot_sweep.py + bench_config4_study.py)."""
+        from plasma_control_tpu.ops.pallas.spectral_horizon import (
+            _VMEM_SCRATCH_BUDGET, _kb_default)
+
+        assert _kb_default(5120, rot=True) == 32   # rot: taller tile wins
+        assert _kb_default(5120, rot=False) == 16  # trig at bench shapes
+        assert _kb_default(2176, rot=False) == 32  # trig at config-4 shapes
+        big = 200_000
+        kb = _kb_default(big, rot=True)            # clamps to the budget
+        assert 8 * kb * big * 4 <= _VMEM_SCRATCH_BUDGET or kb == 8
+
+    def test_kb_is_semantics_neutral(self):
+        """Candidate tiling must not change results: per-candidate mode sums
+        reduce over the particle axis within a row, so KB only groups
+        independent rows. Bit-equal across tile sizes (interpret mode)."""
+        import plasma_control_tpu.ops.pallas.spectral_horizon as sh
+
+        key = jax.random.PRNGKey(3)
+        n, k, h, km = 300, 32, 4, 4
+        x = jax.random.uniform(key, (n,)) * L
+        v = jax.random.normal(jax.random.PRNGKey(4), (n,)) * 2.0
+        u_c = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (k, h, km))
+        u_s = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (k, h, km))
+        kw = dict(length=L, dt=0.1, n0=1.0, n_particles=n, interpret=True)
+        old = sh._KB
+        try:
+            pes = []
+            for kb in (8, 16, 32):
+                sh._KB = kb
+                pes.append(np.asarray(
+                    sh.fused_spectral_horizon(x, v, u_c, u_s, **kw)))
+        finally:
+            sh._KB = old
+        np.testing.assert_array_equal(pes[0], pes[1])
+        np.testing.assert_array_equal(pes[0], pes[2])
+
     def test_config_plumbs_drift_choice(self):
         """MPCConfig.spectral_drift reaches the kernel through
         candidate_costs (rot vs trig produce the tested fp32-equal costs,
