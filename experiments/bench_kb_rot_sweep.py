@@ -11,7 +11,7 @@ if CHILD:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
     from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
     from plasma_control_tpu.control.actuator import make_actuator
     from plasma_control_tpu.models.pic import init_state
