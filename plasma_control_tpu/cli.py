@@ -105,10 +105,11 @@ def add_mpc_args(p: argparse.ArgumentParser):
                         "experiments/horizon_study.py). 0 = off")
     p.add_argument("--spectral_drift", type=str, default=None,
                    choices=["trig", "rot", "auto"],
-                   help="drift variant inside the fused spectral horizon kernel: "
-                        "rot is ~1.75x faster and quality-gated equal on "
-                        "bump-on-tail but NOT certified on two-stream "
-                        "(experiments/rot_drift_gate.py); default = trig")
+                   help="drift variant inside the fused spectral horizon kernel; "
+                        "default auto = the ~2x phasor-rotation drift (quality-"
+                        "gated seed-paired equal on all three simcases at 112 "
+                        "paired rollouts, experiments/rot_drift_gate.py) with a "
+                        "trig fallback for pathological dt*L; 'trig' opts out")
     p.add_argument("--terminal_mode", type=str, default="const",
                    choices=["const", "growth"],
                    help="terminal tail estimator: 'const' = flat --w_terminal "

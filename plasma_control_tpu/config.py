@@ -194,16 +194,15 @@ class MPCConfig:
     # measured rates: experiments/bench_spectral_kernel.py / DEVNOTES.
     plan_kernel: Literal["auto", "xla", "fused", "packed"] = "auto"
     # Drift variant inside the fused spectral horizon kernel. None defers to
-    # the PLASMA_SPECTRAL_DRIFT env var (default "trig"); "rot" enables the
-    # small-angle phasor-rotation drift — ~1.75x faster solves at the bench
-    # shapes, fp32-cost-equal per solve, and closed-loop quality-gated
-    # seed-paired EQUAL on bump-on-tail (8 paired seeds, 13.3 vs 13.7) but
-    # NOT certifiable on two-stream (40 paired seeds: +13% mean tail PE,
-    # 95% CI -4%..+30%, heavier >70-outlier mass — experiments/
-    # rot_drift_gate.py, DEVNOTES 2026-08-21). Opt into "rot" for
-    # quiet/saturated regimes (bench.py does for its gated bump-on-tail
-    # case); keep "trig" for growing phase-critical instabilities. "auto"
-    # applies only the static ACCURACY angle gate, not a quality gate.
+    # the PLASMA_SPECTRAL_DRIFT env var, whose default is "auto": the
+    # small-angle phasor-rotation drift ("rot", ~2x faster solves at the
+    # bench shapes) whenever the static angle bound holds, "trig" (recompute
+    # cos/sin of the wrapped position) otherwise. rot is fp32-cost-equal per
+    # solve AND closed-loop quality-gated seed-paired EQUAL to trig on all
+    # three simcases at bench scale — bump-on-tail 13.7 vs 13.3 (8 paired
+    # seeds), two-stream 36.8 vs 36.5 (80 paired seeds, 95% CI [-9%, +11%]),
+    # landau 3.7 vs 3.7 (8 paired seeds) — experiments/rot_drift_gate.py,
+    # DEVNOTES 2026-08-21. Set "trig" to opt out.
     spectral_drift: Optional[Literal["trig", "rot", "auto"]] = None
     # Planning *dynamics* model. "spectral" (default) = gridless low-mode
     # dynamics: the self-field is the truncated Fourier series of the exact

@@ -28,10 +28,11 @@ Drift variants (``PLASMA_SPECTRAL_DRIFT`` / the ``rot`` argument /
 carried base-harmonic phasor — ~10 VPU FMAs instead of two transcendentals
 per particle-step (~1.75x faster solves), agreeing with the trig path to
 fp32 round-off per solve (tests/test_pallas.py::TestSpectralDrift). The
-DEFAULT is "trig": the 40-seed closed-loop gate certified rot seed-paired
-equal on bump-on-tail but could not certify it on the phase-critical
-two-stream case (see the ``_DRIFT`` comment + DEVNOTES 2026-08-21); "rot"
-is the documented per-case opt-in for quiet/saturated regimes.
+DEFAULT is "auto" (rot whenever the static angle bound holds): a
+112-rollout paired closed-loop gate certified rot seed-paired equal to
+trig on all three simcases at bench scale (see the ``_DRIFT`` comment,
+``experiments/rot_drift_gate.py`` and DEVNOTES 2026-08-21); "trig" is the
+opt-out and the automatic fallback for pathological dt·L.
 
 Padding: particles are padded to a lane multiple with x=0, v=0 and a zero
 mask folded into the per-step cos/sin — a masked particle's recurrence
@@ -92,23 +93,25 @@ def _kb_default(n_pad: int, rot: bool) -> int:
 _KB = _kb_from_env()
 _VMEM_SCRATCH_BUDGET = 10 * 1024 * 1024
 
-# Drift implementation inside the kernel ("trig" | "rot" | "auto"):
+# Drift implementation inside the kernel ("auto" | "rot" | "trig"):
 #   "rot"  — carry the base-harmonic phasor and advance it by a small-angle
 #            polynomial rotation per step (no per-step cos/sin, no wrap);
-#            ~1.75x faster solves at the bench shapes;
+#            ~2x faster solves at the bench shapes (with the KB=32 tile);
 #   "trig" — carry x, wrap, and recompute cos/sin per step (the r2 original);
 #   "auto" — "rot" whenever the static angle bound holds (below), else "trig".
 #
-# DEFAULT: "trig" (changed 2026-08-21). The closed-loop quality gate
-# (experiments/rot_drift_gate.py, 40 paired seeds at bench scale) certified
-# rot seed-paired EQUAL on bump-on-tail (means 13.3 vs 13.7, 8 seeds) but
-# NOT on two-stream: rot tail PE +13% mean (95% CI -4%..+30%, Wilcoxon
-# p=0.19, >70 outliers 5 vs 2) — not significant, but equality cannot be
-# certified and the point estimate matches the +18% that disqualified
-# K=256 (DEVNOTES r2 K study). Per-case opt-in: set
-# MPCConfig.spectral_drift="rot" (or this env var) for quiet/saturated
-# regimes — bench.py does, for its gated bump-on-tail case.
-_DRIFT = os.environ.get("PLASMA_SPECTRAL_DRIFT", "trig")
+# DEFAULT: "auto" (settled 2026-08-21 after a 112-rollout paired
+# closed-loop gate, experiments/rot_drift_gate.py — full history in its
+# tail comment and DEVNOTES). rot is seed-paired EQUAL to trig on ALL
+# three simcases at bench scale: bump-on-tail 13.7 vs 13.3 (8 paired
+# seeds), two-stream 36.8 vs 36.5 (80 paired seeds; 95% CI on the paired
+# mean diff [-9%, +11%], p=0.89 — an n=40 interim read showed an adverse
+# +13% point estimate that the next 40 seeds reversed: two-stream tail PE
+# is fat-tailed chaos, and the mechanism probe shows per-solve decisions
+# are identical), landau 3.7 vs 3.7 (8 paired seeds). "trig" remains the
+# opt-out (env var / MPCConfig.spectral_drift) and the automatic fallback
+# whenever the angle bound fails.
+_DRIFT = os.environ.get("PLASMA_SPECTRAL_DRIFT", "auto")
 # |delta| = (2*pi/L)*dt*|v| per step. With |v| <= _V_SAFE (25 thermal widths
 # at the reference's vth=1 — far beyond any populated tail) the 4/5th-order
 # cos/sin polynomials have truncation error ~ delta^6/720: < 2.2e-5 at the

@@ -78,13 +78,6 @@ def main():
         raise SystemExit("--aot runs a host loop over a fixed artifact; use the "
                          "traced path for --checkpoint_every segmented resume")
 
-    if (cfg.simcase == "bump-on-tail" and args.get("spectral_drift") is None
-            and mpc.plan_model == "spectral"):
-        print("# hint: --spectral_drift rot is ~2x faster and quality-gated "
-              "seed-paired equal on bump-on-tail (experiments/rot_drift_gate.py); "
-              "the default stays trig because the gate could not certify "
-              "two-stream")
-
     from plasma_control_tpu.control.mpc import _plan_frac, plan_fidelity_check
 
     if _plan_frac(cfg, mpc) < 1.0:

@@ -174,17 +174,19 @@ class TestSpectralDrift:
         assert _use_rot(0.1, 50.0, "auto")     # reference shapes: |delta| << 1
         assert not _use_rot(1.0, 5.0, "auto")  # pathological: 25σ sweeps > L/2
 
-    def test_default_is_trig(self):
-        """Quality-gate outcome (40 paired seeds, DEVNOTES 2026-08-21): rot
-        could not be certified seed-paired equal on two-stream, so the safe
-        default is trig; rot is per-case opt-in (MPCConfig.spectral_drift)."""
+    def test_default_auto_resolves_by_angle_bound(self):
+        """Quality-gate outcome (112 paired rollouts across all three
+        simcases, DEVNOTES 2026-08-21): rot is certified seed-paired equal,
+        so the default is 'auto' — rot at reference shapes, trig fallback
+        when the angle bound fails (pathological dt*L)."""
         import os
 
         from plasma_control_tpu.ops.pallas.spectral_horizon import _use_rot
 
         if os.environ.get("PLASMA_SPECTRAL_DRIFT"):
             pytest.skip("env override active")
-        assert not _use_rot(0.1, 50.0)
+        assert _use_rot(0.1, 50.0)       # reference shapes: rot
+        assert not _use_rot(1.0, 5.0)    # pathological: trig fallback
 
     def test_kb_default_heuristic(self):
         """Shape/drift-aware measured-best candidate tile, VMEM-clamped
