@@ -150,12 +150,14 @@ def config3():
     act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
     st = init_state(cfg, jax.random.PRNGKey(0))
 
+    # drift labels are explicit so the artifact of record is unambiguous:
+    # the package default is "auto" (== rot at these shapes, quality-gated
+    # on all three simcases at 112 paired rollouts — rot_drift_gate.py);
+    # "trig" is the opt-out baseline kernel.
     for label, k_cand, drift in (
-        ("spec-K512", 512, None),
-        ("gated-K384", 384, None),
-        # rot drift: quality-gated seed-paired equal on THIS (bump-on-tail)
-        # case — the bench.py headline configuration (rot_drift_gate.py)
-        ("gated-K384-rot", 384, "rot"),
+        ("spec-K512-rot", 512, "rot"),
+        ("gated-K384-rot (bench headline config)", 384, "rot"),
+        ("gated-K384-trig (opt-out)", 384, "trig"),
     ):
         mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=k_cand,
                         plan_modes=8, spectral_drift=drift)
