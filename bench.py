@@ -170,12 +170,40 @@ def main():
     # defeat any relay cache (DEVNOTES: measurement methodology).
     from plasma_control_tpu.utils.timing import mpc_solve_rate
 
+    # Warm- vs cold-cache compile split (VERDICT r3 weak #5): the same-round
+    # swing 24.9 s vs 149.1 s was two different cache states reported under
+    # one name. Count persistent-cache entries around the compile — if none
+    # were added, the XLA compile was served from .jax_cache (warm) and the
+    # seconds measure trace+load only; if entries appeared, it was a cold
+    # compile. Both states are recorded explicitly.
+    import glob as _glob
+
+    def _cache_entries():
+        return len(_glob.glob("/root/repo/.jax_cache/*"))
+
+    cache_before = _cache_entries()
     res = mpc_solve_rate(state, grid, cfg, ctrl, mpc, act)
+    cache_state = "warm" if _cache_entries() == cache_before else "cold"
     solves_per_s = res["solves_per_s"]
     details["mpc_compile_s"] = res["compile_s"]
+    details["mpc_compile_cache_state"] = cache_state
+    details[f"mpc_compile_s_{cache_state}_cache"] = res["compile_s"]
     details["mpc_solves_per_s"] = solves_per_s
     details["mpc_ms_per_solve_all"] = [round(1e3 * s, 3) for s in res["sec_per_solve_all"]]
     details["mpc_wall_chain52_s"] = round(res["wall_chain_s"], 3)
+
+    # Real-time margin of the serving story (VERDICT r3 stretch #9): each
+    # solve advances one control period dt = 0.1 (simulation units, where
+    # w_pe = sqrt(n0) = 1 and the plasma period is 2*pi). The controller
+    # therefore advances solves/s * dt / (2*pi) plasma periods per
+    # wall-clock second, and runs in real time for any plasma with
+    # w_pe <= solves/s * dt rad/s.
+    details["real_time_factor"] = {
+        "plasma_periods_per_wall_s": round(solves_per_s * cfg.dt / (2 * np.pi), 2),
+        "max_real_time_w_pe_rad_per_s": round(solves_per_s * cfg.dt, 1),
+        "note": "periods of plasma evolution the closed loop sustains per "
+                "wall-clock second at one solve per dt=0.1/w_pe control period",
+    }
 
     # Secondary: the opt-out trig drift at the same shapes (the pre-gate
     # baseline kernel; also the automatic fallback for pathological dt*L).
@@ -196,12 +224,19 @@ def main():
     )["solves_per_s"]
 
     # ---------------- AOT cold start (deployment/serving path) ------------
-    # A fresh process must reach its first solve through a COMMITTED artifact
+    # A fresh process must reach its first solve through a persisted artifact
     # (io/aot.py; VERDICT r2 missing #2) rather than re-tracing + re-compiling
-    # the framework. Both artifact kinds are kept in artifacts/aot/ and
-    # rebuilt here if missing or incompatible with the attached topology; the
-    # measurement runs in a subprocess so it pays the full cold path
-    # (interpreter + jax import + backend attach + load + first solve).
+    # the framework. Only the StableHLO artifact (pure serialized IR, safe to
+    # commit) is kept in git; the pickled-executable artifact is ALWAYS
+    # rebuilt locally this run (ADVICE r3 medium: auto-unpickling a committed
+    # blob both executes untrusted code and can silently measure a stale
+    # program after a non-shape config change). The committed StableHLO
+    # carries a config fingerprint sidecar and is rebuilt on mismatch for the
+    # same staleness reason. The measurement runs in a subprocess so it pays
+    # the full cold path (interpreter + jax import + backend attach + load +
+    # first solve).
+    import dataclasses
+    import hashlib
     import os
     import subprocess
     import sys
@@ -209,18 +244,37 @@ def main():
     aot_dir = os.path.join("artifacts", "aot")
     os.makedirs(aot_dir, exist_ok=True)
     hlo_path = os.path.join(aot_dir, "ctrl_step_bench.stablehlo")
-    exec_path = os.path.join(aot_dir, "ctrl_step_bench.exec.pkl")
+    meta_path = os.path.join(aot_dir, "ctrl_step_bench.meta.json")
+    exec_path = os.path.join(aot_dir, "ctrl_step_bench.exec.pkl")  # gitignored
+    fingerprint = hashlib.sha256(
+        json.dumps(
+            {
+                "cfg": dataclasses.asdict(cfg),
+                "ctrl": dataclasses.asdict(ctrl),
+                "mpc": dataclasses.asdict(mpc),
+                "jax": jax.__version__,
+            },
+            sort_keys=True,
+            default=str,
+        ).encode()
+    ).hexdigest()
     try:
         from plasma_control_tpu.io.aot import export_plan, save_compiled_plan
 
-        if not os.path.exists(hlo_path):
+        stale = True
+        if os.path.exists(hlo_path) and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stale = json.load(f).get("config_sha256") != fingerprint
+        if stale:
             t0 = time.perf_counter()
             export_plan(grid, cfg, ctrl, mpc, act, path=hlo_path, kind="control_step")
             details["aot_export_build_s"] = round(time.perf_counter() - t0, 1)
-        if not os.path.exists(exec_path):
-            t0 = time.perf_counter()
-            save_compiled_plan(exec_path, grid, cfg, ctrl, mpc, act, kind="control_step")
-            details["aot_exec_build_s"] = round(time.perf_counter() - t0, 1)
+            with open(meta_path, "w") as f:
+                json.dump({"config_sha256": fingerprint, "kind": "control_step"}, f)
+        # the executable pickle is never trusted from disk: rebuild every run
+        t0 = time.perf_counter()
+        save_compiled_plan(exec_path, grid, cfg, ctrl, mpc, act, kind="control_step")
+        details["aot_exec_build_s"] = round(time.perf_counter() - t0, 1)
         for label, path in (("exec", exec_path), ("stablehlo", hlo_path)):
             # best of 2 attempts: the tunnel's device-attach latency
             # occasionally stalls for minutes (observed: a 140 s first_solve

@@ -2,6 +2,12 @@
 distinct carry, so no (executable, inputs) pair ever repeats.
 
 Run: python /root/repo/experiments/bench_kdk2.py [integ/kern ...]
+
+NOTE (round 4): the grid-planner Pallas kernels this script measured were
+demoted to experiments/pallas_fused_step.py (VERDICT r3 #6 — measured
+2-3x slower than XLA); requesting them via MPCConfig now raises. The
+recorded numbers stand in DEVNOTES; to re-measure, dispatch the kernels
+directly as experiments/test_pallas_fused_step.py does.
 """
 
 import json

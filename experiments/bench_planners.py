@@ -2,6 +2,12 @@
 
 Usage: python experiments/bench_planners.py [variant ...]
 Variants: leapfrog, kdk, kdk-fused, leapfrog-fused, packed (when available).
+
+NOTE (round 4): the grid-planner Pallas kernels this script measured were
+demoted to experiments/pallas_fused_step.py (VERDICT r3 #6 — measured
+2-3x slower than XLA); requesting them via MPCConfig now raises. The
+recorded numbers stand in DEVNOTES; to re-measure, dispatch the kernels
+directly as experiments/test_pallas_fused_step.py does.
 """
 
 from __future__ import annotations

@@ -1,4 +1,31 @@
-"""Fused Pallas TPU kernel: one whole leapfrog planning step per launch.
+"""Fused Pallas GRID-planner kernels — DEMOTED experimental code (round 4).
+
+These kernels (whole leapfrog step, whole-KDK horizon, packed-lane KDK
+horizon) are correct (experiments/test_pallas_fused_step.py) but MEASURED
+LOSERS against XLA's fusion at every planning shape tried on v5e — ~2-3x
+slower (DEVNOTES performance map: fused 116-137 solves/s, packed 172, vs
+XLA staggered-KDK 399). Mosaic schedules the (BB, N, M=64) weight tiles
+with the mesh axis on the 128-lane dimension at half utilization, and the
+per-step dynamic-slice + iota-compare weight construction doesn't pipeline
+the way XLA's fused layout choices do. The winning spectral whole-horizon
+kernel (plasma_control_tpu/ops/pallas/spectral_horizon.py) superseded them
+as the TPU planning default; per VERDICT r3 #6 they live here so
+``ops/pallas/`` carries only winning or load-bearing kernels. Retry on a
+newer Mosaic toolchain, or use as a starting point for shapes with M >= 128
+(full lane utilization without packing).
+
+Not importable from the package: ``MPCConfig.plan_kernel`` no longer
+accepts the grid-model "fused"/"packed" values. To experiment, import this
+module directly (it is self-contained Pallas + the grid's circulant E
+operator) — see experiments/test_pallas_fused_step.py for exact XLA-path
+equivalence checks and experiments/bench_kdk*.py for the measurement
+harnesses.
+
+Original module docstring follows.
+
+----
+
+Fused Pallas TPU kernel: one whole leapfrog planning step per launch.
 
 The MPC planner's hot loop is ``K candidates x H steps`` of the reduced-model
 leapfrog step (`plasma_control_tpu/control/mpc.py::_step_and_pe`): half-drift,

@@ -47,7 +47,7 @@ if __name__ == "__main__":
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     outdir = os.path.join(root, "artifacts",
-                          sys.argv[2] if len(sys.argv) > 2 else "results_r3")
+                          sys.argv[2] if len(sys.argv) > 2 else "results_r4")
     os.makedirs(outdir, exist_ok=True)
 
     ctrl = ControlConfig(max_mode=3)
@@ -55,10 +55,13 @@ if __name__ == "__main__":
     matrix = {}
     for simcase in ("two-stream", "bump-on-tail"):
         # the quality-gated bench planner config (experiments/bench_growth_study)
-        # with the PER-CASE gated kernel drift (experiments/rot_drift_gate.py,
-        # 2026-08-21: rot passes on bump-on-tail only; trig elsewhere)
-        mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=512, plan_modes=8,
-                        spectral_drift="rot" if simcase == "bump-on-tail" else "trig")
+        # under the SHIPPING kernel-drift default ("auto" -> rot at these
+        # shapes) — the final 112-rollout gate certified rot seed-paired
+        # equal on all three simcases (experiments/rot_drift_gate.py n=80
+        # two-stream decision; VERDICT r3 weak #3 asked the matrix to be
+        # regenerated under this default, replacing the provisional pre-n=80
+        # per-case trig override the r3 artifacts were generated with)
+        mpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=512, plan_modes=8)
         cfg = SimConfig(simcase=simcase, n_particles=5000, n_mesh=250,
                         dt=0.1, t_max=50.0, length=50.0)
         grid = jax.device_put(make_grid(cfg.n_mesh, cfg.length))
@@ -141,8 +144,9 @@ if __name__ == "__main__":
     meta = {
         "config": "N=5000 M=250 t_max=50 dt=0.1 max_mode=3 (reference run_ddpg defaults)",
         "mpc": "H=6 w_terminal=4 K=512 Km=8 full-fidelity spectral (bench-gated); "
-               "spectral_drift per-case: rot on bump-on-tail (gated equal), trig "
-               "on two-stream (rot_drift_gate 2026-08-21)",
+               "spectral_drift UNSET = shipping default 'auto' (rot at these "
+               "shapes; certified equal on all simcases at 112 paired rollouts, "
+               "rot_drift_gate final n=80 decision)",
         "dagger": "spectral-encoder amortized-MPC actor, committed weights "
                   "artifacts/dagger_actor_<case>.msgpack (run_dagger.py --optimize)",
         "n_seeds": n_seeds,

@@ -87,9 +87,11 @@ def add_mpc_args(p: argparse.ArgumentParser):
                    choices=["env", "leapfrog", "kdk"],
                    help="candidate-rollout integrator; applied steps always use Yoshida-4")
     p.add_argument("--plan_kernel", type=str, default="auto",
-                   choices=["auto", "xla", "fused", "packed"],
-                   help="planning-step kernel: XLA ops, v2 fused Pallas kernels, or "
-                        "the packed-lane staggered-kick horizon kernel (kdk only)")
+                   choices=["auto", "xla", "fused"],
+                   help="planning-step kernel: 'fused' = the whole-horizon spectral "
+                        "Pallas kernel (plan_model=spectral only; the TPU auto "
+                        "default); grid Pallas variants were demoted to "
+                        "experiments/pallas_fused_step.py")
     p.add_argument("--plan_model", type=str, default="spectral",
                    choices=["spectral", "grid"],
                    help="candidate-rollout dynamics: gridless low-mode spectral "

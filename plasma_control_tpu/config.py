@@ -180,19 +180,17 @@ class MPCConfig:
     # unchanged. Horizons <= n_knots automatically fall back to white noise.
     n_knots: Optional[int] = 3
     # Planning-step kernel. "auto"/"xla" use the XLA op-by-op path. With
-    # plan_model="grid": XLA measured FASTER than every grid Pallas variant
-    # at the benchmark planning shapes (kdk/xla 399 vs fused 137 vs packed
-    # 172 solves/s on v5e; see control/mpc.py::_use_fused_kernel for the
-    # layout analysis); "fused" forces the v2 Pallas kernels
-    # (ops/pallas/fused_step.py), "packed" the packed-lane staggered-kick
-    # horizon kernel — both kept for shapes/hardware where they may win;
-    # error if unsupported. With plan_model="spectral": "fused" dispatches
-    # the whole-horizon spectral Pallas kernel
-    # (ops/pallas/spectral_horizon.py) that keeps the (KB, N) particle state
-    # in VMEM across all H steps — the XLA scan's carry round-trips HBM
-    # every step (~80 MB/step at the full-fidelity bench shapes);
-    # measured rates: experiments/bench_spectral_kernel.py / DEVNOTES.
-    plan_kernel: Literal["auto", "xla", "fused", "packed"] = "auto"
+    # plan_model="spectral": "fused" dispatches the whole-horizon spectral
+    # Pallas kernel (ops/pallas/spectral_horizon.py) that keeps the (KB, N)
+    # particle state in VMEM across all H steps — the XLA scan's carry
+    # round-trips HBM every step (~80 MB/step at the full-fidelity bench
+    # shapes); measured rates: experiments/bench_spectral_kernel.py /
+    # DEVNOTES. With plan_model="grid" only the XLA path ships: every grid
+    # Pallas variant measured 2-3x SLOWER at the benchmark planning shapes
+    # (kdk/xla 399 vs fused 137 vs packed-lane 172 solves/s on v5e) and was
+    # demoted to experiments/pallas_fused_step.py (VERDICT r3 #6) —
+    # "fused"/"packed" with the grid model is now a config error.
+    plan_kernel: Literal["auto", "xla", "fused"] = "auto"
     # Drift variant inside the fused spectral horizon kernel. None defers to
     # the PLASMA_SPECTRAL_DRIFT env var, whose default is "auto": the
     # small-angle phasor-rotation drift ("rot", ~2x faster solves at the
@@ -214,7 +212,7 @@ class MPCConfig:
     # tail PE 61.8-72.7 spectral vs 69.7 grid on the two-stream test config,
     # 5.7 vs 5.2 on bump-on-tail). "grid" = the mesh PIC at plan fidelity
     # (plan_particles/plan_mesh above) — reference-faithful plan dynamics;
-    # required by plan_kernel="fused"/"packed" and plan_integrator choices.
+    # required by the plan_integrator choices.
     # Candidate ranking matches the grid planner when plan_modes covers the
     # unstable modes (~2-4x max_mode): rank corr 0.987+, see
     # control/mpc.py::_horizon_cost_spectral and

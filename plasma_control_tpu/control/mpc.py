@@ -220,37 +220,22 @@ class MPCOutput(NamedTuple):
     final_mean: jax.Array  # (H, 2K) shifted nominal after the last solve
 
 
-def _use_fused_kernel(grid: Grid, cfg: SimConfig, plan_kernel: str) -> bool:
-    """Select the fused Pallas planning-step kernel (see MPCConfig.plan_kernel).
-
-    ``"auto"`` currently resolves to the XLA path: at the benchmark planning
-    shapes (K=512, N=1024-1280, M=64) the measured slope-method rates on a
-    v5e chip are XLA 267 solves/s vs fused Pallas 137 (leapfrog) / 137 (kdk)
-    — the Pallas weight tiles run the mesh axis (M=64) on the 128-wide lane
-    dimension at half utilization while XLA's fusion picks better layouts.
-    The kernels remain available as ``plan_kernel="fused"`` for shapes where
-    they may win (and as the substrate for a packed-lane v3).
-    """
-    if plan_kernel == "packed":
-        from ..ops.pallas.fused_step import packed_horizon_supported
-
-        if not (cfg.interpol == "cic" and packed_horizon_supported(cfg.n_particles, grid.n_mesh)):
-            raise ValueError(
-                "plan_kernel='packed' requires CIC interpolation, plan mesh <= 128 "
-                f"and plan shapes within the VMEM budget (got N={cfg.n_particles}, "
-                f"M={grid.n_mesh})"
-            )
-        return True
-    if plan_kernel != "fused":
-        return False
-    from ..ops.pallas.fused_step import fused_step_supported
-
-    if not (cfg.interpol == "cic" and fused_step_supported(cfg.n_particles, grid.n_mesh)):
+def _reject_grid_pallas_kernel(plan_kernel: str) -> None:
+    """The grid-planner Pallas kernels ("fused" leapfrog/KDK horizon and the
+    packed-lane variant) were demoted to experiments/pallas_fused_step.py
+    (VERDICT r3 #6): correct but measured 2-3x SLOWER than XLA's fusion at
+    every planning shape tried on v5e (DEVNOTES performance map). On the
+    grid model only the XLA path ships; the winning Pallas kernel is the
+    spectral whole-horizon one (plan_model="spectral", the TPU default)."""
+    if plan_kernel in ("fused", "packed"):
         raise ValueError(
-            "plan_kernel='fused' requires CIC interpolation and plan shapes "
-            f"within the VMEM budget (got N={cfg.n_particles}, M={grid.n_mesh})"
+            f"plan_kernel={plan_kernel!r} with plan_model='grid' was demoted: "
+            "the grid-planner Pallas kernels measured 2-3x slower than the "
+            "XLA path and now live in experiments/pallas_fused_step.py. Use "
+            "plan_kernel='xla'/'auto' for the grid model, or "
+            "plan_model='spectral' with plan_kernel='fused' for the winning "
+            "whole-horizon Pallas kernel."
         )
-    return True
 
 
 def _step_and_pe(
@@ -274,17 +259,7 @@ def _step_and_pe(
     from ..ops.fields import electric_energy, solve_e_mesh
     from ..ops.integrate import yoshida4_coefficients
 
-    if plan_integrator == "leapfrog" and _use_fused_kernel(grid, cfg, plan_kernel):
-        from ..ops.pallas.fused_step import fused_leapfrog_step
-
-        x2, v2, e_post = fused_leapfrog_step(
-            state.x, state.v, e_ext, grid.e_op.T,
-            n_mesh=grid.n_mesh, length=cfg.length, dt=cfg.clamped_dt(),
-            n0=cfg.n0, exact=exact, interpret=jax.default_backend() != "tpu",
-        )
-        pe = electric_energy(e_post, grid, cfg.n_particles)
-        return PlasmaState(x2, v2), pe
-
+    _reject_grid_pallas_kernel(plan_kernel)
     if plan_integrator == "leapfrog":
         dt = cfg.clamped_dt()
         x = state.x + 0.5 * dt * state.v
@@ -426,10 +401,10 @@ def _horizon_cost_kdk(
     The integer-step velocities are never materialized; the horizon cost only
     needs the field energies, which are exact. Candidate trajectories are
     bit-identical to explicit KDK up to fp reassociation of the two kicks.
-    The packed-lane Pallas kernel (:func:`plasma_control_tpu.ops.pallas.
-    fused_step.fused_packed_horizon`) additionally reuses the VMEM weight
-    tile between the deposit and the gather — ONE weight eval per step — at
-    full 128-lane utilization.
+    (A packed-lane Pallas variant that additionally reused the VMEM weight
+    tile between deposit and gather — ONE weight eval per step at full
+    128-lane utilization — measured 2.3x slower than this XLA path and was
+    demoted to experiments/pallas_fused_step.py, VERDICT r3 #6.)
     """
     from ..ops.deposit import deposit as _dep, gather as _gat, shape_weights_dense
     from ..ops.fields import electric_energy, solve_e_mesh
@@ -575,10 +550,10 @@ def _horizon_cost_spectral(
     """
     if mpc.plan_kernel == "packed":
         raise ValueError(
-            "plan_kernel='packed' is a grid-planner Pallas kernel; use "
-            "plan_model='grid' with it (the spectral model has no mesh). For "
-            "the spectral model use plan_kernel='fused' (the whole-horizon "
-            "Pallas kernel, dispatched in candidate_costs)."
+            "plan_kernel='packed' was a grid-planner Pallas kernel, demoted "
+            "to experiments/pallas_fused_step.py (measured 2-3x slower than "
+            "XLA). For the spectral model use plan_kernel='fused' (the "
+            "whole-horizon Pallas kernel, dispatched in candidate_costs)."
         )
     n_p = cfg.n_particles
     ka = actuator.max_mode
@@ -662,10 +637,10 @@ def _horizon_cost(
 def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
     """(K, H, 2K) candidates -> (K,) costs, batched rollout.
 
-    With ``plan_integrator="kdk"`` on TPU the whole K x H block dispatches to
+    With the spectral plan model on TPU the whole K x H block dispatches to
     one fused Pallas kernel (the horizon loop runs inside the kernel and the
-    initial state is broadcast across the candidate grid, never through HBM);
-    otherwise a vmapped per-candidate scan.
+    particle tiles stay in VMEM for the whole horizon, never round-tripping
+    HBM); otherwise a vmapped per-candidate scan on the XLA path.
     """
     if mpc.plan_model == "spectral" and _use_spectral_fused(
         mpc.plan_kernel, cfg.n_particles, jax.default_backend()
@@ -680,8 +655,9 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
                 [u_half, jnp.zeros(u_half.shape[:-1] + (km - ka,), dtype)], axis=-1
             )
 
-        # config override of the kernel drift (None = env default "trig";
-        # see MPCConfig.spectral_drift for the per-case quality gate)
+        # config override of the kernel drift (None = env default
+        # PLASMA_SPECTRAL_DRIFT, default "auto" = rot under the static angle
+        # bound; see MPCConfig.spectral_drift for the quality gate)
         rot = (None if mpc.spectral_drift is None
                else _use_rot(cfg.clamped_dt(), cfg.length, mpc.spectral_drift))
         pe = fused_spectral_horizon(
@@ -695,26 +671,8 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
         ie = actuator.input_energy(coeff_seqs)  # (K, H)
         total = _add_terminal(jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1), pe, mpc)
         return _finite_or_huge(total)
-    if (
-        mpc.plan_model == "grid"
-        and mpc.plan_integrator == "kdk"
-        and _use_fused_kernel(grid, cfg, mpc.plan_kernel)
-    ):
-        from ..ops.pallas.fused_step import fused_kdk_horizon, fused_packed_horizon
-
-        horizon_kernel = (
-            fused_packed_horizon if mpc.plan_kernel == "packed" else fused_kdk_horizon
-        )
-        u_mesh = actuator.compute_e_packed(coeff_seqs)  # (K, H, M)
-        pe = horizon_kernel(
-            state.x, state.v, u_mesh, grid.e_op.T,
-            n_mesh=grid.n_mesh, length=cfg.length, dt=cfg.clamped_dt(), n0=cfg.n0,
-            interpret=jax.default_backend() != "tpu",
-        )  # (K, H) exact post-step PE
-        pe = pe * (cfg.n_particles / cfg.length)  # electric_energy rescale
-        ie = actuator.input_energy(coeff_seqs)  # (K, H)
-        total = _add_terminal(jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1), pe, mpc)
-        return _finite_or_huge(total)
+    if mpc.plan_model == "grid":
+        _reject_grid_pallas_kernel(mpc.plan_kernel)
     return jax.vmap(lambda u: _horizon_cost(state, u, grid, cfg, mpc, actuator))(coeff_seqs)
 
 

@@ -34,8 +34,12 @@ fp reassociation noise of the two separately compiled programs
 (tests/test_aot.py::TestControlStep measures both contracts).
 ``run_mpc.py --aot <artifact>`` runs the closed loop this way, and
 ``bench.py`` measures the fresh-process cold-start latency through the
-committed bench-shape artifacts
-(``BENCH_DETAILS.json:cold_start_with_artifact_{exec,stablehlo}``).
+bench-shape artifacts
+(``BENCH_DETAILS.json:cold_start_with_artifact_{exec,stablehlo}``). Only
+the StableHLO artifact (pure IR) is committed, with a config-fingerprint
+sidecar; the pickled executable is rebuilt locally every bench run and
+gitignored — unpickling executes code, so a committed pickle must never be
+auto-loaded (see :func:`load_compiled_plan`'s warning; ADVICE r3).
 """
 
 from __future__ import annotations

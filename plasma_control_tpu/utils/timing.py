@@ -147,9 +147,12 @@ def mpc_solve_rate(
     # A valid trial's slope is positive; median only over those. The raw
     # list is returned unfiltered so artifacts keep the full evidence.
     valid = [s for s in slopes if s > 0]
-    est = float(np.median(valid)) if valid else float(np.median(slopes))
+    # If EVERY trial is non-positive (a badly stalled tunnel session) there
+    # is no defensible rate — emit NaN rather than a zero-division or a
+    # negative rate; sec_per_solve_all keeps the raw evidence (ADVICE r3).
+    est = float(np.median(valid)) if valid else float("nan")
     return {
-        "solves_per_s": 1.0 / est,
+        "solves_per_s": 1.0 / est if np.isfinite(est) and est > 0 else float("nan"),
         "sec_per_solve_all": slopes,
         "wall_chain_s": float(np.median(wall)),
         "compile_s": compile_s,

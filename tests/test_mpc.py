@@ -139,40 +139,6 @@ class TestPlan:
                 st, cand, grid, cfg,
                 MPCConfig(horizon=3, plan_model="spectral", plan_kernel="packed"), act)
 
-    def test_fused_kdk_matches_xla_kdk(self):
-        """The one-launch Pallas horizon kernel (plan_kernel='fused',
-        interpret mode on CPU) reproduces the XLA KDK candidate costs."""
-        cfg = tiny_cfg(n_particles=700)  # non-aligned N exercises padding
-        grid = make_grid(cfg.n_mesh, cfg.length)
-        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
-        st = init_state(cfg, jax.random.PRNGKey(0))
-        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (13, 5, 4))  # odd K
-        c_xla = np.asarray(candidate_costs(
-            st, cand, grid, cfg,
-            MPCConfig(horizon=5, plan_model="grid", plan_integrator="kdk", plan_kernel="xla"), act))
-        c_fused = np.asarray(candidate_costs(
-            st, cand, grid, cfg,
-            MPCConfig(horizon=5, plan_model="grid", plan_integrator="kdk", plan_kernel="fused"), act))
-        np.testing.assert_allclose(c_fused, c_xla, rtol=2e-4)
-
-    @pytest.mark.parametrize("n_mesh", [32, 48, 64])
-    def test_packed_kdk_matches_xla_kdk(self, n_mesh):
-        """The packed-lane staggered-kick horizon kernel (plan_kernel='packed',
-        interpret mode on CPU) reproduces the XLA KDK candidate costs across
-        pack factors p = 128//M (p=4, p=2 with partial lanes W=96, p=2 full)."""
-        cfg = tiny_cfg(n_particles=700, n_mesh=n_mesh)  # non-aligned N: row mask
-        grid = make_grid(cfg.n_mesh, cfg.length)
-        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
-        st = init_state(cfg, jax.random.PRNGKey(0))
-        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (13, 5, 4))  # odd K
-        c_xla = np.asarray(candidate_costs(
-            st, cand, grid, cfg,
-            MPCConfig(horizon=5, plan_model="grid", plan_integrator="kdk", plan_kernel="xla"), act))
-        c_packed = np.asarray(candidate_costs(
-            st, cand, grid, cfg,
-            MPCConfig(horizon=5, plan_model="grid", plan_integrator="kdk", plan_kernel="packed"), act))
-        np.testing.assert_allclose(c_packed, c_xla, rtol=2e-4)
-
     @pytest.mark.parametrize("algo", ["mppi", "cem"])
     def test_plan_returns_valid(self, algo):
         cfg = tiny_cfg()
@@ -397,9 +363,8 @@ class TestTerminalCost:
             dict(plan_model="grid", plan_integrator="kdk"),
             dict(plan_model="grid", plan_integrator="leapfrog"),
             dict(plan_model="grid", plan_integrator="env"),
-            dict(plan_model="grid", plan_integrator="kdk", plan_kernel="fused"),
         ],
-        ids=["spectral", "kdk", "leapfrog", "env", "fused"],
+        ids=["spectral", "kdk", "leapfrog", "env"],
     )
     def test_terminal_cost_linear_in_weight(self, kw):
         """cost(w_terminal) = cost(0) + w_terminal * PE_H on every planner

@@ -49,74 +49,6 @@ class TestPallasCIC:
         assert abs(float(jnp.sum(n)) - 1000.0) < 1e-2
 
 
-class TestFusedStep:
-    """The fused leapfrog planning-step kernel vs the XLA op-by-op path."""
-
-    def _xla_leapfrog(self, x, v, e_ext, grid, cfg, exact):
-        from plasma_control_tpu.control.mpc import _step_and_pe
-        from plasma_control_tpu.models.pic import PlasmaState
-
-        st, pe = _step_and_pe(
-            PlasmaState(x, v), e_ext, grid, cfg, exact, "leapfrog", "xla"
-        )
-        return st.x, st.v, pe
-
-    def _setup(self, rng, n=700, batch=None):
-        from plasma_control_tpu.config import SimConfig
-
-        shape = (n,) if batch is None else (batch, n)
-        x = jnp.asarray(rng.uniform(0, L, shape), dtype=jnp.float32)
-        v = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
-        grid = make_grid(M, L)
-        cfg = SimConfig(n_particles=n, n_mesh=M, dt=0.1, t_max=5.0, length=L)
-        return x, v, grid, cfg
-
-    def test_matches_xla_leapfrog(self, rng):
-        from plasma_control_tpu.ops.pallas.fused_step import fused_leapfrog_step
-
-        x, v, grid, cfg = self._setup(rng)
-        e_ext = jnp.asarray(0.05 * rng.standard_normal(M), dtype=jnp.float32)
-        for exact in (True, False):
-            rx, rv, rpe = self._xla_leapfrog(x, v, e_ext, grid, cfg, exact)
-            gx, gv, ge = fused_leapfrog_step(
-                x, v, e_ext, grid.e_op.T,
-                n_mesh=M, length=L, dt=cfg.clamped_dt(), exact=exact, interpret=True,
-            )
-            from plasma_control_tpu.ops.fields import electric_energy
-
-            gpe = electric_energy(ge, grid, cfg.n_particles)
-            np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-5, atol=1e-4)
-            np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=1e-5, atol=1e-4)
-            np.testing.assert_allclose(float(gpe), float(rpe), rtol=1e-4)
-
-    def test_batched_and_vmap(self, rng):
-        from plasma_control_tpu.ops.pallas.fused_step import fused_leapfrog_step
-
-        x, v, grid, cfg = self._setup(rng, n=512, batch=5)  # non-divisible batch
-        e_ext = jnp.asarray(0.05 * rng.standard_normal((5, M)), dtype=jnp.float32)
-        rx, rv, rpe = jax.vmap(
-            lambda xx, vv, ee: self._xla_leapfrog(xx, vv, ee, grid, cfg, True)
-        )(x, v, e_ext)
-        kw = dict(n_mesh=M, length=L, dt=cfg.clamped_dt(), exact=True, interpret=True)
-        gx, gv, ge = fused_leapfrog_step(x, v, e_ext, grid.e_op.T, **kw)
-        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-5, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=1e-5, atol=1e-4)
-        # vmap reroutes to the batched kernel via the custom_vmap rule
-        vx, vv_, vge = jax.vmap(
-            lambda xx, vv, ee: fused_leapfrog_step(xx, vv, ee, grid.e_op.T, **kw)
-        )(x, v, e_ext)
-        np.testing.assert_allclose(np.asarray(vx), np.asarray(gx), rtol=1e-6, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(vge), np.asarray(ge), rtol=1e-6, atol=1e-6)
-
-    def test_vmem_support_gate(self):
-        from plasma_control_tpu.ops.pallas.fused_step import fused_step_supported
-
-        assert fused_step_supported(1024, 64)
-        assert fused_step_supported(2048, 128)
-        assert not fused_step_supported(1_000_000, 256)
-        assert not fused_step_supported(1024, 64, kind="tsc")
-
-
 class TestPallasTSC:
     """TSC (both the reference's shifted kernel and the textbook variant) on
     the Pallas deposit/gather paths — parity debt from VERDICT r1 #8."""
