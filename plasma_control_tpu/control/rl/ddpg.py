@@ -77,7 +77,10 @@ class DDPGConfig:
     # (networks.SpectralEncoder, new capability) — the sufficient statistics
     # of the low-mode wave dynamics, built for distilling the MPC planner
     # (the DeepSets mean-pool loses the phase precision the control law
-    # needs; DEVNOTES RL findings).
+    # needs; DEVNOTES RL findings); "attention" = the mode-token transformer
+    # actor over the same spectral moments with per-mode output heads
+    # (networks.SpectralAttentionActor — the capacity lever for closing the
+    # learned-vs-planner gap, VERDICT r3 #5).
     encoder: str = "deepsets"
     encoder_modes: int = 8
     # Velocity-moment order of the spectral encoder: 1 = density + current
@@ -85,6 +88,10 @@ class DDPGConfig:
     # 3 heat flux — successive closures of the linearized Vlasov moment
     # hierarchy (networks.SpectralEncoder docstring).
     encoder_v_order: int = 1
+    # SpectralAttentionActor capacity knobs (encoder="attention" only).
+    attn_dim: int = 64
+    attn_heads: int = 4
+    attn_layers: int = 2
 
 
 class DDPGState(NamedTuple):
@@ -108,7 +115,22 @@ class _Nets(NamedTuple):
 def make_ddpg(cfg: SimConfig, ctrl: ControlConfig, hp: DDPGConfig, key: jax.Array):
     """Build networks, params and optimizer states (6 networks + 3 Adams,
     parity with `/root/reference/run_ddpg.py:135-186`)."""
-    if hp.encoder == "spectral":
+    if hp.encoder == "attention":
+        from .networks import SpectralAttentionActor
+
+        actor = SpectralAttentionActor(
+            mlp_dim=hp.mlp_dim,
+            n_actions=ctrl.n_actions,
+            n_modes=hp.encoder_modes,
+            output_min=hp.output_min,
+            output_max=hp.output_max,
+            length=cfg.length,
+            v_order=hp.encoder_v_order,
+            d_model=hp.attn_dim,
+            n_heads=hp.attn_heads,
+            n_layers=hp.attn_layers,
+        )
+    elif hp.encoder == "spectral":
         from .networks import SpectralActor
 
         actor = SpectralActor(

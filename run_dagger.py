@@ -56,8 +56,11 @@ def main():
     p.add_argument("--actor_path", type=str, default=None,
                    help="msgpack weights path (load for eval; save after --optimize)")
     p.add_argument("--encoder", type=str, default="spectral",
-                   choices=["spectral", "deepsets"],
-                   help="actor state encoder (spectral: 2.1-2.5x better distillation)")
+                   choices=["spectral", "deepsets", "attention"],
+                   help="actor state encoder (spectral: 2.1-2.5x better "
+                        "distillation; attention: mode-token transformer over "
+                        "the spectral moments with per-mode output heads — "
+                        "the capacity variant, experiments/actor_capacity_study.py)")
     p.add_argument("--encoder_modes", type=int, default=8)
     p.add_argument("--encoder_v_order", type=int, default=1,
                    help="velocity-moment order of the spectral encoder "
