@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -217,8 +218,24 @@ def config4():
     # slope method (see config3 note): r2's recorded 85.5 solves/s for this
     # row was single-chain wall clock, polluted by the per-launch constant
     res = mpc_solve_rate(st, grid, cfg, ctrl, mpc, act, r1=2, r2=22)
+    # Closed-loop QUALITY at this scale (VERDICT r3 #1: the rate row must
+    # carry suppression evidence, not just solves/s): attach the committed
+    # multi-seed paired study (experiments/config4_quality.py — tail PE,
+    # decay-phase damping, K-quality gate at the config-4 shape).
+    quality = None
+    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "artifacts", "results_r4", "config4_quality.json")
+    if os.path.exists(qpath):
+        with open(qpath) as f:
+            q = json.load(f)
+        quality = {"summary_tail_pe": {k: v["tail_pe_mean"]
+                                       for k, v in q["summary"].items()},
+                   "k_gate": q.get("k_gate"),
+                   "n_seeds": q["meta"]["n_seeds"],
+                   "artifact": "artifacts/results_r4/config4_quality.json"}
     _emit("4-mpc-joint", res["solves_per_s"], "solves/s", K=4096, H=10,
-          N=100_000, compile_s=round(res["compile_s"], 1))
+          N=100_000, compile_s=round(res["compile_s"], 1),
+          closed_loop_quality=quality)
 
 
 def config5():
