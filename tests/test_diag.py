@@ -10,7 +10,9 @@ from plasma_control_tpu.diag.landau import (
     compute_linear_damping_rate,
     compute_linear_damping_rate_analytic,
     compute_numerical_entropy,
+    damping_rate_decay_phase,
     damping_rate_from_field_energy,
+    time_to_pe_threshold,
 )
 from plasma_control_tpu.diag.spectrum import compute_e_k_spectrum, e_k_coefficients, spectrum_wavenumbers
 from plasma_control_tpu.models.pic import init_state
@@ -79,6 +81,35 @@ class TestLandau:
         ts = jnp.linspace(0, cfg.t_max, cfg.n_steps + 1)
         g_pe = float(damping_rate_from_field_energy(ts, out.field_energy))
         assert abs(g_snap - g_pe) < 5e-3
+
+    def test_decay_phase_fit_ignores_saturated_floor(self):
+        """VERDICT r3 weak #1 regression: a trace that decays fast then sits
+        on its floor must fit the DECAY slope, not the flat tail. The
+        full-window fit returns ~0 for such a trace; the decay-phase fit
+        recovers the true gamma, and a pure-exponential trace gives the
+        same answer on both."""
+        ts = jnp.linspace(0.0, 50.0, 500)
+        gamma = -0.5
+        pure = 100.0 * jnp.exp(2.0 * gamma * ts)
+        crushed = jnp.maximum(pure, 1.0)  # floor reached at t ~ 4.6
+        g_full = float(damping_rate_from_field_energy(ts, crushed))
+        g_decay = damping_rate_decay_phase(ts, crushed)
+        assert abs(g_full) < 0.1  # the floor destroys the full-window fit
+        assert abs(g_decay - gamma) < 0.05
+        assert abs(damping_rate_decay_phase(ts, pure) - gamma) < 0.05
+
+    def test_decay_phase_fit_starts_at_peak(self):
+        """Growth-then-decay traces fit only the post-peak decay."""
+        ts = jnp.linspace(0.0, 20.0, 200)
+        pe = jnp.where(ts < 5.0, jnp.exp(ts), jnp.exp(5.0) * jnp.exp(-2.0 * (ts - 5.0)))
+        assert abs(damping_rate_decay_phase(ts, pe) - (-1.0)) < 0.05
+
+    def test_time_to_pe_threshold(self):
+        ts = jnp.linspace(0.0, 10.0, 101)
+        pe = 100.0 * jnp.exp(-ts)  # hits 10 at t = ln(10) ~ 2.303
+        t = time_to_pe_threshold(ts, pe, 10.0)
+        assert abs(t - 2.303) < 0.11  # grid resolution 0.1
+        assert np.isnan(time_to_pe_threshold(ts, pe, 1e-9))
 
     def test_entropy_finite(self, rng):
         n = 2000
