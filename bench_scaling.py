@@ -120,7 +120,7 @@ def config2():
           "dgamma MPC vs uncontrolled, decay-phase fit (positive = MPC damps harder)",
           gamma_uncontrolled=round(g_un, 5), gamma_feedback=round(g_fb, 5),
           gamma_mpc=round(g_mp, 5),
-          t_to_2x_mpc_floor={
+          t_to_stay_below_2x_mpc_floor={
               "threshold_pe": round(thresh, 2),
               "uncontrolled": t_to(pe_un),
               "feedback": t_to(pe_fb),
@@ -235,6 +235,19 @@ def config4():
                    "artifact": "artifacts/results_r4/config4_quality.json"}
     _emit("4-mpc-joint", res["solves_per_s"], "solves/s", K=4096, H=10,
           N=100_000, compile_s=round(res["compile_s"], 1),
+          closed_loop_quality=quality)
+
+    # The QUALITY-GATED config-4 controller of record (config4_quality.json,
+    # r4): K=384 FULL-fidelity spectral — the subsampled K=4096 spec config
+    # above plateaus at its phantom noise floor (tail PE ~9400 vs 105 full
+    # fidelity; 167x suppression) and its K gate shows K=4096 is paired-equal
+    # to K=384 anyway. Rate row so the scaling artifact carries the real
+    # controller's cost.
+    mpc_ff = MPCConfig(horizon=10, n_candidates=384)
+    res_ff = mpc_solve_rate(st, grid, cfg, ctrl, mpc_ff, act, r1=2, r2=22)
+    _emit("4-mpc-joint-fullfid-gated", res_ff["solves_per_s"], "solves/s",
+          K=384, H=10, N=100_000, plan_fidelity="full (quality-gated winner)",
+          compile_s=round(res_ff["compile_s"], 1),
           closed_loop_quality=quality)
 
 

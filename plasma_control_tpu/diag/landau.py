@@ -166,12 +166,29 @@ def damping_rate_decay_phase(ts, pe, floor_factor: float = 2.0) -> float:
     )
 
 
-def time_to_pe_threshold(ts, pe, threshold: float) -> float:
+def time_to_pe_threshold(ts, pe, threshold: float, after_peak: bool = True,
+                         sustained: bool = True) -> float:
     """First time at which PE(t) falls to/below ``threshold`` (host/numpy);
     NaN if it never does. The window-free companion statistic to
     :func:`damping_rate_decay_phase` — how fast a controller reaches a given
-    suppression level, immune to what happens after it gets there."""
+    suppression level, immune to what happens after it gets there.
+
+    ``after_peak`` (default) searches only from the global PE peak onward:
+    an instability growing from quiet noise starts *below* any useful
+    threshold, and counting that trivial pre-growth crossing would credit
+    the uncontrolled trace with instant "suppression". ``sustained``
+    requires the trace to reach the threshold and STAY at/below it for the
+    rest of the run — a transient dip that regrows (e.g. the uncontrolled
+    bump-on-tail's early relaxation before the beam instability saturates)
+    does not count as suppression."""
     ts = np.asarray(ts, dtype=np.float64)
     pe = np.asarray(pe, dtype=np.float64)
-    hit = np.nonzero(pe <= threshold)[0]
-    return float(ts[hit[0]]) if len(hit) else float("nan")
+    i0 = int(np.argmax(pe)) if after_peak else 0
+    below = pe[i0:] <= threshold
+    if sustained:
+        # first index from which every later sample is also below
+        ok = np.flip(np.logical_and.accumulate(np.flip(below)))
+        hit = np.nonzero(ok)[0]
+    else:
+        hit = np.nonzero(below)[0]
+    return float(ts[i0 + hit[0]]) if len(hit) else float("nan")

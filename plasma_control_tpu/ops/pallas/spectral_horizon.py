@@ -82,9 +82,17 @@ def _kb_default(n_pad: int, rot: bool) -> int:
       @8; KB=48 exceeds VMEM) — the rotation's cheaper per-step work makes
       the taller tile's amortization dominate at every measured shape.
 
-    Clamped to the VMEM scratch budget (the ~8 live (KB, N_pad) fp32
-    arrays)."""
+    Clamped to the VMEM scratch budget — EMPIRICALLY for tall shapes: the
+    "~8 live (KB, N_pad) planes" model under-counts Mosaic's scoped-stack
+    temporaries there. Measured (v5e, 2026-08-21, round-4 config-2 OOM):
+    rot at N_pad=10112 with KB=16 fails compile at 23.1 MB scoped vmem
+    (limit 16 MB) while KB=8 compiles and runs; KB>=16 is verified only up
+    to the bench N_pad=5120 (KB=32 there is the measured optimum). So
+    above N_pad=5632 the default drops straight to KB=8; the analytic
+    clamp below remains as a backstop for explicit env overrides."""
     kb = 32 if (rot or n_pad <= 3584) else 16
+    if n_pad > 5632:
+        kb = 8
     while kb > 8 and 8 * kb * n_pad * 4 > _VMEM_SCRATCH_BUDGET:
         kb //= 2
     return kb
@@ -144,12 +152,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def spectral_horizon_supported(n_particles: int) -> bool:
-    """True if the ~8 live (KB, N_pad) fp32 arrays fit the VMEM budget.
-    The default tile self-clamps to the budget, so only an explicit env
-    override can make a shape unsupported."""
+    """True if the (KB, N_pad) particle tiles fit VMEM.
+
+    Two gates: the analytic ~8-plane budget for the chosen KB, plus an
+    EMPIRICAL N_pad ceiling of 12288 — measured scoped-vmem use at KB=8 is
+    ~1.15 KB per particle-column (11.6 MB at N_pad=10112 vs the 16 MB
+    limit), so ~13.9k columns is the hard boundary; 12288 leaves ~12%
+    headroom. Shapes above fall back to the XLA scan path under "auto"
+    (still the full-fidelity solve — e.g. BASELINE config-4 N=100k runs
+    XLA at ~21 solves/s, quality-gated in results_r4/config4_quality)."""
     n_pad = _round_up(n_particles, 128)
     kb = _KB if _KB is not None else _kb_default(n_pad, rot=False)
-    return 8 * kb * n_pad * 4 <= _VMEM_SCRATCH_BUDGET
+    return n_pad <= 12288 and 8 * kb * n_pad * 4 <= _VMEM_SCRATCH_BUDGET
 
 
 def _kernel(

@@ -111,6 +111,31 @@ class TestLandau:
         assert abs(t - 2.303) < 0.11  # grid resolution 0.1
         assert np.isnan(time_to_pe_threshold(ts, pe, 1e-9))
 
+    def test_time_to_pe_threshold_ignores_pre_growth_crossing(self):
+        """A trace growing from quiet noise starts below the threshold; the
+        trivial pre-peak crossing must not count (default after_peak)."""
+        ts = jnp.linspace(0.0, 20.0, 201)
+        pe = jnp.where(ts < 5.0, jnp.exp(ts), jnp.exp(5.0) * jnp.exp(-(ts - 5.0)))
+        # crosses 10 upward at t ~ 2.3, downward (post-peak) at t ~ 7.7
+        t = time_to_pe_threshold(ts, pe, 10.0)
+        assert abs(t - 7.7) < 0.15
+        t0 = time_to_pe_threshold(ts, pe, 10.0, after_peak=False,
+                                  sustained=False)
+        assert t0 < 0.1  # pe[0]=1 <= 10: the trivial crossing
+
+    def test_time_to_pe_threshold_sustained(self):
+        """A transient dip that regrows (uncontrolled bump-on-tail's early
+        relaxation) must not count as suppression when sustained=True."""
+        ts = jnp.linspace(0.0, 30.0, 301)
+        # spike at t=0, dips below 10 around t in [2.5, 10], regrows to 30
+        pe = 50.0 * jnp.exp(-ts) + 30.0 / (1.0 + jnp.exp(-(ts - 15.0)))
+        assert np.isnan(time_to_pe_threshold(ts, pe, 10.0))  # never stays
+        t_dip = time_to_pe_threshold(ts, pe, 10.0, sustained=False)
+        assert t_dip < 4.0  # the transient dip, if sustained is waived
+        # a controlled trace that reaches the floor and stays
+        pe_c = 50.0 * jnp.exp(-ts) + 1.0
+        assert abs(time_to_pe_threshold(ts, pe_c, 10.0) - 1.7) < 0.2
+
     def test_entropy_finite(self, rng):
         n = 2000
         snap = jnp.concatenate(
