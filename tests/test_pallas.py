@@ -129,9 +129,46 @@ class TestSpectralDrift:
         assert _kb_default(5120, rot=True) == 32   # rot: taller tile wins
         assert _kb_default(5120, rot=False) == 16  # trig at bench shapes
         assert _kb_default(2176, rot=False) == 32  # trig at config-4 shapes
+        # tall shapes drop straight to KB=8: KB=16 at N_pad=10112 measured
+        # a 23.1 MB scoped-vmem compile OOM on v5e (round-4 config-2 bug)
+        assert _kb_default(10112, rot=True) == 8
+        assert _kb_default(10112, rot=False) == 8
         big = 200_000
         kb = _kb_default(big, rot=True)            # clamps to the budget
         assert 8 * kb * big * 4 <= _VMEM_SCRATCH_BUDGET or kb == 8
+
+    def test_supported_gate_tall_shapes(self):
+        """The empirical N_pad ceiling: 10k supported (KB=8, measured on
+        hardware), >12288 falls back to the XLA path under 'auto'."""
+        from plasma_control_tpu.ops.pallas.spectral_horizon import (
+            spectral_horizon_supported)
+
+        assert spectral_horizon_supported(10_000)
+        assert spectral_horizon_supported(12_288)
+        assert not spectral_horizon_supported(12_500)
+        assert not spectral_horizon_supported(100_000)
+
+    def test_kernel_correct_at_tall_shape_kb8(self):
+        """Semantics at the tall-shape KB=8 tile (the round-4 config-2
+        shape, interpret mode): kernel == streamed XLA spectral costs."""
+        import jax
+        from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+        from plasma_control_tpu.control.mpc import candidate_costs
+        from plasma_control_tpu.control.actuator import make_actuator
+        from plasma_control_tpu.models.pic import init_state
+
+        cfg = SimConfig(simcase="bump-on-tail", n_particles=6000, n_mesh=64,
+                        dt=0.1, t_max=5.0, length=L)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, 2)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4))
+        base = dict(horizon=4, n_candidates=8, plan_modes=4)
+        c_xla = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(**base, plan_kernel="xla"), act))
+        c_fused = np.asarray(candidate_costs(
+            st, cand, grid, cfg, MPCConfig(**base, plan_kernel="fused"), act))
+        np.testing.assert_allclose(c_fused, c_xla, rtol=2e-4, atol=1e-5)
 
     def test_kb_is_semantics_neutral(self):
         """Candidate tiling must not change results: per-candidate mode sums
