@@ -75,6 +75,10 @@ def add_mpc_args(p: argparse.ArgumentParser):
     p.add_argument("--w_input", type=float, default=0.05)
     p.add_argument("--algo", type=str, default="mppi", choices=["mppi", "cem"])
     p.add_argument("--plan_particles", type=int, default=0, help="0 = full fidelity")
+    p.add_argument("--plan_chunk", type=int, default=0,
+                   help="evaluate candidates in sequential chunks of this size "
+                        "(bounds memory to plan_chunk x N planes; needed for "
+                        "full-fidelity planning at very large N; 0 = one batch)")
     p.add_argument("--plan_mesh", type=int, default=0, help="0 = full fidelity")
     p.add_argument("--smooth_noise", type=float, default=0.0,
                    help="AR(1) beta for temporally correlated candidate noise (0 = white)")
@@ -171,6 +175,7 @@ def build_mpc_config(args: dict) -> MPCConfig:
         algo=args["algo"],
         plan_particles=args["plan_particles"] or None,
         plan_mesh=args["plan_mesh"] or None,
+        plan_chunk=args.get("plan_chunk", 0) or None,
         smooth_noise=args.get("smooth_noise", 0.0),
         n_knots=args.get("n_knots", 0) or None,
         plan_integrator=args.get("plan_integrator", "kdk"),

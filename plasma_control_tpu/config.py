@@ -111,6 +111,14 @@ class MPCConfig:
     # two-stream, coherent field >> floor) remain safe and ~N_plan/N faster.
     plan_particles: Optional[int] = None
     plan_mesh: Optional[int] = None
+    # Evaluate candidate costs in sequential chunks of this size
+    # (lax.map over chunks of the batched evaluator) to bound the live
+    # working set to plan_chunk x N planes instead of K x N. Required for
+    # very-large-N FULL-fidelity planning on one chip (N=1e6: even K=64
+    # holds several 256 MB (K, N) planes live and crashed the TPU worker —
+    # round-4 measurement; see control/mpc.py::candidate_costs). Must
+    # divide n_candidates. None = single batched evaluation.
+    plan_chunk: Optional[int] = None
     # Dynamic fidelity guard for subsampled planning (active only when
     # plan_particles < N). Per solve, ON-DEVICE, compare the full state's
     # coherent modal energy (plan frame) against the subsample's injected

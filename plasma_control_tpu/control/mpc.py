@@ -641,7 +641,32 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
     one fused Pallas kernel (the horizon loop runs inside the kernel and the
     particle tiles stay in VMEM for the whole horizon, never round-tripping
     HBM); otherwise a vmapped per-candidate scan on the XLA path.
+
+    ``mpc.plan_chunk`` bounds the live working set: the K candidates are
+    evaluated in sequential chunks of that size (``lax.map`` over chunks of
+    the batched evaluator), so peak memory is ``plan_chunk x N`` planes
+    instead of ``K x N``. Required for very-large-N full-fidelity planning
+    on one chip — at N=1e6 even K=64 holds several 256 MB (K, N) planes
+    live at once and crashed the TPU worker (round-4 measurement); chunked
+    evaluation is sequential over chunks, so prefer the largest chunk that
+    fits. Semantics-neutral by construction (same per-candidate program).
     """
+    if mpc.plan_chunk is not None and coeff_seqs.shape[0] > mpc.plan_chunk:
+        k_total = coeff_seqs.shape[0]
+        chunk = int(mpc.plan_chunk)
+        if k_total % chunk != 0:
+            raise ValueError(
+                f"plan_chunk={chunk} must divide the candidate count "
+                f"{k_total} (antithetic/elite logic needs the exact K)"
+            )
+        inner = dataclasses.replace(mpc, plan_chunk=None)
+        chunks = coeff_seqs.reshape(k_total // chunk, chunk,
+                                    *coeff_seqs.shape[1:])
+        out = jax.lax.map(
+            lambda c: candidate_costs(state, c, grid, cfg, inner, actuator),
+            chunks,
+        )
+        return out.reshape(k_total)
     if mpc.plan_model == "spectral" and _use_spectral_fused(
         mpc.plan_kernel, cfg.n_particles, jax.default_backend()
     ):

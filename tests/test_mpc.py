@@ -78,6 +78,26 @@ class TestPlan:
         assert rho > 0.95, f"rank correlation {rho}"
         np.testing.assert_allclose(c_kdk, c_env, rtol=0.05)
 
+    def test_plan_chunk_is_semantics_neutral(self):
+        """Chunked candidate evaluation (plan_chunk, the large-N memory
+        bound) returns exactly the batched costs, on both plan models."""
+        cfg = tiny_cfg()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (24, 5, 4))
+        for base in (dict(plan_model="spectral", plan_modes=6),
+                     dict(plan_model="grid", plan_integrator="kdk")):
+            full = np.asarray(candidate_costs(
+                st, cand, grid, cfg, MPCConfig(horizon=5, **base), act))
+            chunked = np.asarray(candidate_costs(
+                st, cand, grid, cfg,
+                MPCConfig(horizon=5, plan_chunk=8, **base), act))
+            np.testing.assert_allclose(chunked, full, rtol=1e-6, atol=1e-7)
+        with pytest.raises(ValueError, match="divide"):
+            candidate_costs(st, cand, grid, cfg,
+                            MPCConfig(horizon=5, plan_chunk=7), act)
+
     def test_spectral_planner_preserves_ranking(self):
         """The gridless low-mode spectral planning model (the default,
         MPCConfig.plan_model='spectral') ranks candidates like the full
