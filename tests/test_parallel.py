@@ -177,6 +177,28 @@ class TestShardedFusedSpectral:
         c_ref = np.asarray(candidate_costs(st, cand, grid, cfg, mpc_xla, act))
         np.testing.assert_allclose(c_sharded, c_ref, rtol=2e-4, atol=1e-6)
 
+    def test_sharded_costs_with_plan_chunk(self, devices8):
+        """plan_chunk (the large-N memory bound) composes with shard_map:
+        each device chunks its LOCAL candidate block (32/8 devices = 4 local
+        candidates, chunk 2), and costs still match the unsharded path."""
+        from plasma_control_tpu.parallel.pic_shard import make_sharded_candidate_costs
+
+        cfg = cfgs(n_particles=256)
+        ctrl = ControlConfig(max_mode=2)
+        mpc = MPCConfig(horizon=3, n_candidates=32, plan_modes=4, plan_chunk=2)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (32, 3, 4))
+
+        mesh = make_mesh(axis_names=("rollout",))
+        costs_fn = make_sharded_candidate_costs(mesh, grid, cfg, mpc, act)
+        c_sharded = np.asarray(costs_fn(st, cand))
+        c_ref = np.asarray(candidate_costs(
+            st, cand, grid, cfg,
+            MPCConfig(horizon=3, n_candidates=32, plan_modes=4), act))
+        np.testing.assert_allclose(c_sharded, c_ref, rtol=2e-4, atol=1e-6)
+
     def test_gspmd_constraint_path_rejects_pallas_kernels(self, devices8):
         """plan(candidate_sharding=...) is the GSPMD path — Pallas planning
         kernels only compose with multi-chip via shard_map (sharded_plan);
