@@ -444,13 +444,13 @@ class TestLearnedSuppression:
     default workload (N=5000, M=250, t_max=50, max_mode=3), matching the
     capability evidenced by `/root/reference/result/*/ddpg-control/log_E.pdf`.
 
-    Thresholds sit ABOVE the measured healthy 8-seed spread recorded in
-    artifacts/results_r3/matrix.json (two-stream dagger tail PE 69-112 vs
-    uncontrolled ~1170; bump-on-tail 10.6-16.0 vs uncontrolled 17-53), so a
-    PRNG/numerics drift that lands the fixed-seed trajectory elsewhere in
-    the healthy distribution does not break CI (ADVICE r3: the old 15.0
-    bump-on-tail bound sat INSIDE the healthy spread — seed 4's measured
-    15.955 would have failed).
+    Thresholds sit ABOVE the measured healthy 8-seed spreads recorded in
+    artifacts/results_r4/matrix.json (two-stream dagger tail PE 37-96 with
+    the round-4 retrained actor vs uncontrolled ~1172; bump-on-tail
+    10.6-16.0 vs uncontrolled 17-53), so a PRNG/numerics drift that lands
+    the fixed-seed trajectory elsewhere in the healthy distribution does
+    not break CI (ADVICE r3: the old 15.0 bump-on-tail bound sat INSIDE
+    the healthy spread — seed 4's measured 15.955 would have failed).
 
     Gate design (VERDICT r2 weak #3): for two-stream both prongs bite
     (tail_abs=250 and <25% of uncontrolled ~1100). For bump-on-tail the
