@@ -42,9 +42,24 @@ Details (push-throughput sub-benchmark, timings) go to BENCH_DETAILS.json.
 from __future__ import annotations
 
 import json
+import math
 import time
 
 import numpy as np
+
+
+def _json_safe(obj):
+    """NaN/Inf -> None, recursively: ``json.dumps`` would emit the bare
+    token ``NaN`` (invalid per RFC 8259, rejected by strict parsers/jq) —
+    e.g. when a fully stalled tunnel session makes every slope trial
+    non-positive and the rate is NaN by design (utils/timing.py)."""
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
 
 
 def _numpy_reference_step_rate(n_particles: int, n_mesh: int, length: float, dt: float, reps: int = 30) -> float:
@@ -183,10 +198,16 @@ def main():
 
     cache_before = _cache_entries()
     res = mpc_solve_rate(state, grid, cfg, ctrl, mpc, act)
-    cache_state = "warm" if _cache_entries() == cache_before else "cold"
+    # entries-added count rather than a binary: a partial hit (one of the
+    # two chain programs cached, the other compiled) is its own state —
+    # a bare "cold" label on a mostly-warm number would recreate the
+    # conflation this field exists to fix (review finding r4)
+    cache_added = _cache_entries() - cache_before
+    cache_state = "warm" if cache_added == 0 else "cold_or_partial"
     solves_per_s = res["solves_per_s"]
     details["mpc_compile_s"] = res["compile_s"]
     details["mpc_compile_cache_state"] = cache_state
+    details["mpc_compile_cache_entries_added"] = cache_added
     details[f"mpc_compile_s_{cache_state}_cache"] = res["compile_s"]
     details["mpc_solves_per_s"] = solves_per_s
     details["mpc_ms_per_solve_all"] = [round(1e3 * s, 3) for s in res["sec_per_solve_all"]]
@@ -336,16 +357,18 @@ def main():
     vs_baseline = solves_per_s / np_solves_per_s
 
     with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+        json.dump(_json_safe(details), f, indent=2)
 
     print(
         json.dumps(
-            {
-                "metric": "mpc_solves_per_s",
-                "value": round(solves_per_s, 3),
-                "unit": "solves/s",
-                "vs_baseline": round(vs_baseline, 2),
-            }
+            _json_safe(
+                {
+                    "metric": "mpc_solves_per_s",
+                    "value": round(solves_per_s, 3),
+                    "unit": "solves/s",
+                    "vs_baseline": round(vs_baseline, 2),
+                }
+            )
         )
     )
 

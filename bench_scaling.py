@@ -28,7 +28,17 @@ import numpy as np
 
 
 def _emit(name, value, unit, **extra):
-    print(json.dumps({"config": name, "value": round(value, 5), "unit": unit, **extra}))
+    row = {"config": name, "value": round(value, 5), "unit": unit, **extra}
+
+    def safe(o):  # NaN/Inf -> None: bare NaN is invalid JSON (RFC 8259)
+        if isinstance(o, dict):
+            return {k: safe(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [safe(v) for v in o]
+        import math
+        return None if isinstance(o, float) and not math.isfinite(o) else o
+
+    print(json.dumps(safe(row)))
 
 
 def config1():

@@ -229,9 +229,9 @@ def _reject_grid_pallas_kernel(plan_kernel: str) -> None:
     spectral whole-horizon one (plan_model="spectral", the TPU default)."""
     if plan_kernel in ("fused", "packed"):
         raise ValueError(
-            f"plan_kernel={plan_kernel!r} with plan_model='grid' was demoted: "
-            "the grid-planner Pallas kernels measured 2-3x slower than the "
-            "XLA path and now live in experiments/pallas_fused_step.py. Use "
+            f"plan_kernel={plan_kernel!r} was demoted: the grid-planner "
+            "Pallas kernels measured 2-3x slower than the XLA path and now "
+            "live in experiments/pallas_fused_step.py. Use "
             "plan_kernel='xla'/'auto' for the grid model, or "
             "plan_model='spectral' with plan_kernel='fused' for the winning "
             "whole-horizon Pallas kernel."
@@ -548,13 +548,6 @@ def _horizon_cost_spectral(
     PE = (n0^2/N) sum_m (c_m^2 + s_m^2) / k_m^2 with the reference's N/L
     rescale (`/root/reference/src/env/util.py:129-131`) already folded in.
     """
-    if mpc.plan_kernel == "packed":
-        raise ValueError(
-            "plan_kernel='packed' was a grid-planner Pallas kernel, demoted "
-            "to experiments/pallas_fused_step.py (measured 2-3x slower than "
-            "XLA). For the spectral model use plan_kernel='fused' (the "
-            "whole-horizon Pallas kernel, dispatched in candidate_costs)."
-        )
     n_p = cfg.n_particles
     ka = actuator.max_mode
     km = max(int(mpc.plan_modes), ka)  # actuator modes always inside the model
@@ -650,15 +643,21 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
     live at once and crashed the TPU worker (round-4 measurement); chunked
     evaluation is sequential over chunks, so prefer the largest chunk that
     fits. Semantics-neutral by construction (same per-candidate program).
+    A chunk that does not divide the received candidate block is clamped
+    DOWN to the largest divisor — under shard_map this function sees the
+    per-device LOCAL block (K / n_devices), so a hard divisibility error
+    against the global ``n_candidates`` contract would misfire there
+    (review finding r4); clamping keeps the requested bound an upper
+    bound in every composition.
     """
+    if mpc.plan_kernel == "packed":
+        # demoted grid Pallas kernel (not constructible via the Literal/CLI;
+        # guards hand-built configs for every plan model)
+        _reject_grid_pallas_kernel(mpc.plan_kernel)
     if mpc.plan_chunk is not None and coeff_seqs.shape[0] > mpc.plan_chunk:
         k_total = coeff_seqs.shape[0]
-        chunk = int(mpc.plan_chunk)
-        if k_total % chunk != 0:
-            raise ValueError(
-                f"plan_chunk={chunk} must divide the candidate count "
-                f"{k_total} (antithetic/elite logic needs the exact K)"
-            )
+        chunk = next(c for c in range(int(mpc.plan_chunk), 0, -1)
+                     if k_total % c == 0)
         inner = dataclasses.replace(mpc, plan_chunk=None)
         chunks = coeff_seqs.reshape(k_total // chunk, chunk,
                                     *coeff_seqs.shape[1:])

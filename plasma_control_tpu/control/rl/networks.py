@@ -195,6 +195,16 @@ class SpectralAttentionActor(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.n_actions // 2 > self.n_modes:
+            # without this the per-mode head slice would silently consume
+            # the global bulk token (wrong physics for the top actuated
+            # mode) or emit a short action vector (cryptic downstream
+            # shape error) — review finding r4
+            raise ValueError(
+                f"SpectralAttentionActor needs n_modes >= n_actions/2 "
+                f"(one token per actuated mode); got n_modes={self.n_modes}, "
+                f"n_actions={self.n_actions}"
+            )
         feats = SpectralEncoder(self.n_modes, self.length, self.v_order)(x)
         per_mode = 2 * (self.v_order + 1)
         n_bulk = self.v_order + 1

@@ -88,8 +88,10 @@ def _kb_default(n_pad: int, rot: bool) -> int:
     rot at N_pad=10112 with KB=16 fails compile at 23.1 MB scoped vmem
     (limit 16 MB) while KB=8 compiles and runs; KB>=16 is verified only up
     to the bench N_pad=5120 (KB=32 there is the measured optimum). So
-    above N_pad=5632 the default drops straight to KB=8; the analytic
-    clamp below remains as a backstop for explicit env overrides."""
+    above N_pad=5632 the default drops straight to KB=8 — and
+    :func:`_kb_clamped` applies the same ceiling to explicit
+    PLASMA_SPECTRAL_KB env overrides at dispatch, so no path can launch a
+    tile that reproduces the measured OOM."""
     kb = 32 if (rot or n_pad <= 3584) else 16
     if n_pad > 5632:
         kb = 8
@@ -151,18 +153,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _kb_clamped(n_pad: int, rot: bool) -> int:
+    """The tile actually launched: env override or shape default, both
+    clamped to the empirical tall-shape ceiling (KB>8 above N_pad=5632
+    reproduces the measured Mosaic scoped-vmem compile OOM — an env
+    override must not bypass the clamp; review finding r4)."""
+    kb = _KB if _KB is not None else _kb_default(n_pad, rot)
+    return min(kb, 8) if n_pad > 5632 else kb
+
+
 def spectral_horizon_supported(n_particles: int) -> bool:
     """True if the (KB, N_pad) particle tiles fit VMEM.
 
-    Two gates: the analytic ~8-plane budget for the chosen KB, plus an
-    EMPIRICAL N_pad ceiling of 12288 — measured scoped-vmem use at KB=8 is
-    ~1.15 KB per particle-column (11.6 MB at N_pad=10112 vs the 16 MB
-    limit), so ~13.9k columns is the hard boundary; 12288 leaves ~12%
-    headroom. Shapes above fall back to the XLA scan path under "auto"
-    (still the full-fidelity solve — e.g. BASELINE config-4 N=100k runs
-    XLA at ~21 solves/s, quality-gated in results_r4/config4_quality)."""
+    Two gates: the analytic ~8-plane budget for the launched (clamped) KB,
+    plus an EMPIRICAL N_pad ceiling of 12288 — measured scoped-vmem use at
+    KB=8 is ~1.15 KB per particle-column (11.6 MB at N_pad=10112 vs the
+    16 MB limit), so ~13.9k columns is the hard boundary; 12288 leaves
+    ~12% headroom. Shapes above fall back to the XLA scan path under
+    "auto" (still the full-fidelity solve — e.g. BASELINE config-4 N=100k
+    runs XLA at ~21 solves/s, quality-gated in results_r4/config4_quality)."""
     n_pad = _round_up(n_particles, 128)
-    kb = _KB if _KB is not None else _kb_default(n_pad, rot=False)
+    kb = _kb_clamped(n_pad, rot=False)
     return n_pad <= 12288 and 8 * kb * n_pad * 4 <= _VMEM_SCRATCH_BUDGET
 
 
@@ -282,8 +293,9 @@ def fused_spectral_horizon(
     use_rot = _use_rot(dt, length) if rot is None else rot
     # largest tile <= the target that divides K (sub-sublane tiles are legal,
     # just less efficient — keeps sharded local blocks of any size working);
-    # target = env override or the shape/drift-aware measured default
-    kb_t = _KB if _KB is not None else _kb_default(n_pad, use_rot)
+    # target = env override or the shape/drift-aware measured default, both
+    # clamped to the tall-shape scoped-vmem ceiling (_kb_clamped)
+    kb_t = _kb_clamped(n_pad, use_rot)
     kb = next(
         d for d in dict.fromkeys((kb_t, 32, 16, 8, 4, 2, 1))
         if d <= kb_t and k_cand % d == 0

@@ -94,9 +94,13 @@ class TestPlan:
                 st, cand, grid, cfg,
                 MPCConfig(horizon=5, plan_chunk=8, **base), act))
             np.testing.assert_allclose(chunked, full, rtol=1e-6, atol=1e-7)
-        with pytest.raises(ValueError, match="divide"):
-            candidate_costs(st, cand, grid, cfg,
-                            MPCConfig(horizon=5, plan_chunk=7), act)
+            # non-divisor chunk clamps DOWN to the largest divisor (7 -> 6
+            # for K=24): still exact — under shard_map this path sees the
+            # per-device local block, so a hard error would misfire there
+            clamped = np.asarray(candidate_costs(
+                st, cand, grid, cfg,
+                MPCConfig(horizon=5, plan_chunk=7, **base), act))
+            np.testing.assert_allclose(clamped, full, rtol=1e-6, atol=1e-7)
 
     def test_spectral_planner_preserves_ranking(self):
         """The gridless low-mode spectral planning model (the default,

@@ -137,6 +137,18 @@ class TestSpectralDrift:
         kb = _kb_default(big, rot=True)            # clamps to the budget
         assert 8 * kb * big * 4 <= _VMEM_SCRATCH_BUDGET or kb == 8
 
+    def test_kb_env_override_respects_tall_ceiling(self, monkeypatch):
+        """A PLASMA_SPECTRAL_KB override must not bypass the empirical
+        tall-shape clamp — KB=16 at N_pad=10112 is the measured compile
+        OOM the clamp exists to prevent (review finding r4)."""
+        import plasma_control_tpu.ops.pallas.spectral_horizon as sh
+
+        monkeypatch.setattr(sh, "_KB", 16)
+        assert sh._kb_clamped(10112, rot=True) == 8
+        assert sh._kb_clamped(5120, rot=True) == 16  # override honored below
+        monkeypatch.setattr(sh, "_KB", None)
+        assert sh._kb_clamped(10112, rot=True) == 8
+
     def test_supported_gate_tall_shapes(self):
         """The empirical N_pad ceiling: 10k supported (KB=8, measured on
         hardware), >12288 falls back to the XLA path under 'auto'."""

@@ -70,6 +70,17 @@ class TestNetworks:
             np.asarray(actor.sample(params, x[0][None])[0]), np.asarray(a[0]),
             atol=1e-5)
 
+    def test_attention_actor_rejects_too_few_mode_tokens(self):
+        """n_modes < n_actions/2 would drive the top actuated mode from the
+        bulk token (or emit a short action vector) — clear error instead."""
+        from plasma_control_tpu.control.rl.networks import SpectralAttentionActor
+
+        actor = SpectralAttentionActor(mlp_dim=16, n_actions=6, n_modes=2,
+                                       d_model=16, n_heads=2, n_layers=1)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 40))
+        with pytest.raises(ValueError, match="n_modes >= n_actions/2"):
+            actor.init(jax.random.PRNGKey(1), x)
+
     def test_attention_actor_via_make_ddpg_and_dagger(self):
         """encoder='attention' plumbs through make_ddpg and a 1-iter DAgger."""
         from plasma_control_tpu.control.rl.dagger import dagger_train
