@@ -141,8 +141,51 @@ if __name__ == "__main__":
         fig.savefig(os.path.join(outdir, f"log_E_{simcase}.pdf"))
         plt.close(fig)
 
+    # ---- third simcase: landau (no committed dagger actor — the case is
+    # a framework addition validated against the kinetic rate; controllers
+    # compared are {wo-oc, feedback, mpc} at the DEVNOTES landau-control
+    # config: natural damping that MPC accelerates and feedback PUMPS) ----
+    lcfg = SimConfig(simcase="landau", n_particles=2000, n_mesh=32, dt=0.1,
+                     t_max=15.0, perturb_amplitude=0.3, perturb_mode=2)
+    lmpc = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=512, plan_modes=8)
+    lgrid = jax.device_put(make_grid(lcfg.n_mesh, lcfg.length))
+    lact = make_actuator(lcfg.length, lcfg.n_mesh, ctrl.max_mode)
+    lruns = {
+        "wo-oc": lambda st, k: rollout(st, lgrid, lcfg).field_energy[1:],
+        "feedback": lambda st, k: feedback_rollout(
+            st, lgrid, lcfg, ctrl, lact, record_snapshots=False).field_energy,
+        "mpc": lambda st, k: mpc_rollout(
+            st, lgrid, lcfg, ctrl, lmpc, lact, k).field_energy,
+    }
+    lcase = {}
+    for name, fn in lruns.items():
+        thirds_all, tails = [], []
+        for s in range(n_seeds):
+            st = init_state(lcfg, jax.random.PRNGKey(lcfg.seed + s))
+            pe = np.asarray(fn(st, jax.random.PRNGKey(lcfg.seed + 100 + s)))
+            n3 = len(pe) // 3
+            thirds_all.append([round(float(pe[i*n3:(i+1)*n3].mean()), 2)
+                               for i in range(3)])
+            tails.append(round(float(pe[-len(pe) // 5:].mean()), 3))
+            print(f"{'landau':13s} {name:9s} seed {s}: thirds {thirds_all[-1]}",
+                  flush=True)
+        lcase[name] = {
+            # PE means over t-thirds: the robust statistic for an
+            # oscillating decaying envelope (DEVNOTES landau-control)
+            "pe_thirds_per_seed": thirds_all,
+            "pe_thirds_mean": [round(float(np.mean([t[i] for t in thirds_all])), 2)
+                               for i in range(3)],
+            "tail_pe_per_seed": tails,
+            "tail_pe_mean": round(float(np.mean(tails)), 3),
+        }
+    matrix["landau"] = lcase
+
     meta = {
         "config": "N=5000 M=250 t_max=50 dt=0.1 max_mode=3 (reference run_ddpg defaults)",
+        "landau_config": "N=2000 M=32 t_max=15 A=0.3 mode-2 (the validated "
+                         "landau simcase; {wo-oc, feedback, mpc} only — no "
+                         "committed dagger actor for this case); statistic = "
+                         "PE means over t-thirds",
         "mpc": "H=6 w_terminal=4 K=512 Km=8 full-fidelity spectral (bench-gated); "
                "spectral_drift UNSET = shipping default 'auto' (rot at these "
                "shapes; certified equal on all simcases at 112 paired rollouts, "
