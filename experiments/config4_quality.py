@@ -78,6 +78,7 @@ if __name__ == "__main__":
         "mpc_K4096": MPCConfig(n_candidates=4096, **sub),
         "mpc_K192_fullfid": MPCConfig(n_candidates=192, **full),
         "mpc_K384_fullfid": MPCConfig(n_candidates=384, **full),
+        "mpc_K512_fullfid": MPCConfig(n_candidates=512, **full),
         "mpc_K1024_fullfid": MPCConfig(n_candidates=1024, **full),
     }
     if wanted:
