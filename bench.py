@@ -43,9 +43,15 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache location, derived from this file's own
+# directory (ADVICE r4: a hardcoded /root/repo/.jax_cache makes every compile
+# mislabeled "warm" when the repo is checked out elsewhere).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
 
 def _json_safe(obj):
@@ -141,7 +147,7 @@ def main():
     # Persistent compilation cache: the MPC solve-chain XLA program is large
     # and remote compile latency is highly variable (40-370s observed);
     # caching makes repeat bench runs start in seconds.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -194,7 +200,7 @@ def main():
     import glob as _glob
 
     def _cache_entries():
-        return len(_glob.glob("/root/repo/.jax_cache/*"))
+        return len(_glob.glob(os.path.join(_CACHE_DIR, "*")))
 
     cache_before = _cache_entries()
     res = mpc_solve_rate(state, grid, cfg, ctrl, mpc, act)

@@ -116,10 +116,10 @@ class MPCConfig:
     # working set to plan_chunk x N planes instead of K x N. Required for
     # very-large-N FULL-fidelity planning on one chip (N=1e6: even K=64
     # holds several 256 MB (K, N) planes live and crashed the TPU worker —
-    # round-4 measurement; see control/mpc.py::candidate_costs). A value
-    # that does not divide the evaluated candidate block (which under
-    # shard_map is the per-device LOCAL block) is clamped down to the
-    # largest divisor, so it is always an upper bound on chunk memory.
+    # round-4 measurement; see control/mpc.py::candidate_costs). A block
+    # that is not a multiple of the chunk (under shard_map: the per-device
+    # LOCAL block) is padded up to one and the padded costs discarded, so
+    # the requested chunk is always the chunk launched.
     # None = single batched evaluation.
     plan_chunk: Optional[int] = None
     # Dynamic fidelity guard for subsampled planning (active only when

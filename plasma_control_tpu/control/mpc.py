@@ -643,12 +643,13 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
     live at once and crashed the TPU worker (round-4 measurement); chunked
     evaluation is sequential over chunks, so prefer the largest chunk that
     fits. Semantics-neutral by construction (same per-candidate program).
-    A chunk that does not divide the received candidate block is clamped
-    DOWN to the largest divisor — under shard_map this function sees the
-    per-device LOCAL block (K / n_devices), so a hard divisibility error
-    against the global ``n_candidates`` contract would misfire there
-    (review finding r4); clamping keeps the requested bound an upper
-    bound in every composition.
+    A candidate block that is not a multiple of the chunk is PADDED up to
+    one with copies of candidate 0 and the padded costs discarded — the
+    chunk size requested is always the chunk size launched (an earlier
+    clamp-to-largest-divisor silently serialized divisor-poor blocks to
+    chunk=1, ADVICE r4). Under shard_map this function sees the per-device
+    LOCAL block (K / n_devices); padding composes there too (each device
+    pads its own block).
     """
     if mpc.plan_kernel == "packed":
         # demoted grid Pallas kernel (not constructible via the Literal/CLI;
@@ -656,16 +657,21 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
         _reject_grid_pallas_kernel(mpc.plan_kernel)
     if mpc.plan_chunk is not None and coeff_seqs.shape[0] > mpc.plan_chunk:
         k_total = coeff_seqs.shape[0]
-        chunk = next(c for c in range(int(mpc.plan_chunk), 0, -1)
-                     if k_total % c == 0)
+        chunk = int(mpc.plan_chunk)
+        k_pad = -(-k_total // chunk) * chunk
+        if k_pad != k_total:
+            pad = jnp.broadcast_to(
+                coeff_seqs[:1], (k_pad - k_total,) + coeff_seqs.shape[1:]
+            )
+            coeff_seqs = jnp.concatenate([coeff_seqs, pad])
         inner = dataclasses.replace(mpc, plan_chunk=None)
-        chunks = coeff_seqs.reshape(k_total // chunk, chunk,
+        chunks = coeff_seqs.reshape(k_pad // chunk, chunk,
                                     *coeff_seqs.shape[1:])
         out = jax.lax.map(
             lambda c: candidate_costs(state, c, grid, cfg, inner, actuator),
             chunks,
         )
-        return out.reshape(k_total)
+        return out.reshape(k_pad)[:k_total]
     if mpc.plan_model == "spectral" and _use_spectral_fused(
         mpc.plan_kernel, cfg.n_particles, jax.default_backend()
     ):
