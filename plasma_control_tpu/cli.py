@@ -129,6 +129,21 @@ def add_mpc_args(p: argparse.ArgumentParser):
                         "like H=10)")
     p.add_argument("--no_antithetic", action="store_true",
                    help="disable mirrored-pair (antithetic) candidate sampling")
+    p.add_argument("--plan_correction", type=str, default="none",
+                   choices=["none", "twin"],
+                   help="noise-floor correction for SUBSAMPLED planning: 'twin' "
+                        "scores each candidate's mode phasors against a "
+                        "zero-drive twin of the plan subsample (common random "
+                        "numbers) shrunk by the full-state coherence per mode — "
+                        "removes the in-model profit of cancelling subsample "
+                        "noise phases that don't exist in the real plasma "
+                        "(MPCConfig.plan_correction); spectral plan model only")
+    p.add_argument("--cost_pe_nref", type=float, default=5000.0,
+                   help="scale-free plan cost: multiply the planning field "
+                        "energy by this / n_plan_particles so one --w_input "
+                        "balances field vs drive at every N (default 5000 = "
+                        "the reference scale, factor exactly 1.0 there); "
+                        "0 = raw plan PE (pre-r5 behavior)")
     return p
 
 
@@ -187,6 +202,8 @@ def build_mpc_config(args: dict) -> MPCConfig:
         spectral_drift=args.get("spectral_drift"),
         terminal_steps=args.get("terminal_steps", 4),
         antithetic=not args.get("no_antithetic", False),
+        plan_correction=args.get("plan_correction", "none"),
+        cost_pe_nref=args.get("cost_pe_nref", 5000.0) or None,
     )
 
 

@@ -122,6 +122,42 @@ class MPCConfig:
     # the requested chunk is always the chunk launched.
     # None = single batched evaluation.
     plan_chunk: Optional[int] = None
+    # Noise-floor-corrected subsampled planning cost ("twin" correction;
+    # spectral plan model only). The subsampled plan state's mode phasors are
+    # coherent signal + sampling noise; an uncorrected planner profits
+    # in-model by cancelling the noise phases (the HAZARD above). The
+    # correction removes that profit EXACTLY where it is phantom:
+    #   1. once per solve, estimate each mode's coherent energy fraction
+    #      lambda_m from the FULL state (Wiener shrinkage: lambda =
+    #      r^2 sig^2 / (r^2 sig^2 + n(1-r)), one O(N*Km) pass);
+    #   2. roll a zero-drive TWIN of the plan subsample over the horizon with
+    #      the same dynamics (common random numbers: same particles, same
+    #      discretization) recording its mode phasors (c0, s0)(t);
+    #   3. score each candidate on the corrected field energy
+    #      sum_m |(c, s) - (1 - lambda_m) (c0, s0)|^2 / k_m^2.
+    # For a pure-noise mode (lambda=0) the zero-drive candidate costs 0 and
+    # any drive ADDS cost (the CRN difference is the drive effect alone); for
+    # a coherent mode (lambda=1) the cost is unchanged. At full fidelity the
+    # correction is inactive (identical program). The dynamic fidelity guard
+    # below is bypassed when this is active — the corrected cost is
+    # noise-safe by construction, and zeroing the drive would disable the
+    # controller exactly in the regime the correction handles.
+    # Cost: one extra (uncandidated) H-step plan rollout + one O(N*Km) pass
+    # per solve — negligible next to the K x H candidate block.
+    plan_correction: Literal["none", "twin"] = "none"
+    # Scale-free plan cost (VERDICT r4 #3): multiply the planning-model field
+    # energy by cost_pe_nref / n_plan_particles before weighting. The raw
+    # plan PE carries a factor n (mode sums scale with particle count), so
+    # one w_input cannot balance field vs drive across N — the reference
+    # normalizes its reward terms for the same reason
+    # (`/root/reference/src/control/rl/reward.py:31-33`). With the default
+    # 5000 (the reference/bench workload), the cost is invariant to BOTH the
+    # environment N and the plan fidelity n, and at the reference scale the
+    # factor is exactly 1.0 — every bench/matrix number at N=5000 is
+    # unchanged by construction. None disables (raw plan PE, the pre-r5
+    # behavior; the r4 config-4/1M artifacts used raw PE with hand-scaled
+    # w_input).
+    cost_pe_nref: Optional[float] = 5000.0
     # Dynamic fidelity guard for subsampled planning (active only when
     # plan_particles < N). Per solve, ON-DEVICE, compare the full state's
     # coherent modal energy (plan frame) against the subsample's injected

@@ -40,7 +40,20 @@ __all__ = [
     "plan",
     "plan_fidelity_check",
     "mpc_rollout",
+    "twin_targets",
 ]
+
+
+def _pe_factor(plan_cfg: SimConfig, mpc: MPCConfig) -> float:
+    """Scale-free plan-cost factor (``MPCConfig.cost_pe_nref``): the plan
+    model's field energy carries a factor n (its mode sums scale with the
+    particle count), so the PE term is multiplied by nref/n before weighting
+    — one ``w_input`` then balances field vs drive at every environment N
+    AND every plan fidelity n. Exactly 1.0 at the reference/bench scale
+    (nref = n = 5000), so all N=5000 gated results are unchanged."""
+    if mpc.cost_pe_nref is None:
+        return 1.0
+    return float(mpc.cost_pe_nref) / float(plan_cfg.n_particles)
 
 
 def _reduced_model(grid: Grid, cfg: SimConfig, mpc: MPCConfig, dtype=jnp.float32):
@@ -433,13 +446,15 @@ def _horizon_cost_kdk(
             scale * e_self + e_add, x, grid, kind=cfg.interpol, method=cfg.deposit_method
         )
 
+    pe_f = _pe_factor(cfg, mpc)
+
     def body(carry, inp):
         x, vh = carry
         e_pair, u = inp
         x2 = jnp.mod(x + dt * vh, cfg.length)
         e2, kick = fields_and_kick(x2, e_pair)
         vh2 = vh + 0.5 * dt * kick(2.0)
-        pe = electric_energy(e2, grid, cfg.n_particles)
+        pe = pe_f * electric_energy(e2, grid, cfg.n_particles)
         c = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
         return (x2, vh2), (c, pe)
 
@@ -524,6 +539,7 @@ def _horizon_cost_spectral(
     cfg: SimConfig,
     mpc: MPCConfig,
     actuator: FourierActuator,
+    twin_target=None,  # optional ((H, Km), (H, Km)) noise-correction targets
 ) -> jax.Array:
     """Gridless low-mode spectral candidate rollout (``plan_model="spectral"``).
 
@@ -556,7 +572,7 @@ def _horizon_cost_spectral(
     k = (2.0 * jnp.pi / cfg.length) * jnp.arange(1, km + 1, dtype=dtype)
     g = 2.0 * cfg.n0 / (n_p * k)  # self-field coefficient scale
     inv_k2 = 1.0 / (k * k)
-    pe_scale = cfg.n0**2 / n_p
+    pe_scale = cfg.n0**2 / n_p * _pe_factor(cfg, mpc)
 
     def pad(u_half):  # (..., ka) -> (..., km)
         return jnp.concatenate(
@@ -573,7 +589,13 @@ def _horizon_cost_spectral(
 
     def body(carry, inp):
         x, vh = carry
-        pc_ext, ps_ext, u = inp
+        if twin_target is None:
+            pc_ext, ps_ext, u = inp
+        else:
+            # per-step noise-correction targets (1 - lambda_m)(c0, s0)(t):
+            # the candidate is charged for its phasor RELATIVE to the
+            # zero-drive twin's noise fraction (MPCConfig.plan_correction)
+            pc_ext, ps_ext, u, tc_t, ts_t = inp
         x2 = jnp.mod(x + dt * vh, cfg.length)
         t = two_pi_over_l * x2
         c1, s1 = jnp.cos(t), jnp.sin(t)
@@ -583,7 +605,11 @@ def _horizon_cost_spectral(
         ps = 2.0 * (-g * c) + ps_ext
         accel = -_mode_eval(c1, s1, pc, ps)
         vh2 = vh + 0.5 * dt * accel
-        pe = pe_scale * jnp.sum((c * c + s * s) * inv_k2, axis=-1)
+        if twin_target is None:
+            pe = pe_scale * jnp.sum((c * c + s * s) * inv_k2, axis=-1)
+        else:
+            dc, ds = c - tc_t, s - ts_t
+            pe = pe_scale * jnp.sum((dc * dc + ds * ds) * inv_k2, axis=-1)
         cost = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
         return (x2, vh2), (cost, pe)
 
@@ -594,9 +620,86 @@ def _horizon_cost_spectral(
     pc0 = g * s0 + u_c[0]
     ps0 = -(g * c0) + u_s[0]
     vh0 = state.v + 0.5 * dt * (-_mode_eval(c1_0, s1_0, pc0, ps0))
-    _, (costs, pes) = jax.lax.scan(body, (state.x, vh0), (pair_c, pair_s, coeff_seq))
+    inputs = (pair_c, pair_s, coeff_seq)
+    if twin_target is not None:
+        inputs = inputs + (twin_target[0].astype(dtype), twin_target[1].astype(dtype))
+    _, (costs, pes) = jax.lax.scan(body, (state.x, vh0), inputs)
     total = _add_terminal(jnp.sum(costs), pes, mpc)
     return _finite_or_huge(total)
+
+
+def _twin_mode_traj(state: PlasmaState, cfg: SimConfig, mpc: MPCConfig, km: int):
+    """Zero-drive TWIN of the spectral plan rollout: the (H, Km) mode-sum
+    trajectory of the plan state under NO external drive, with exactly the
+    same discretization as the candidate rollouts (merged-half-kick staggered
+    KDK, same initial un-merged half kick, same post-drift sampling points) —
+    common random numbers by construction: a zero-coefficient candidate
+    reproduces this trajectory bit-for-bit on the XLA path, so differencing
+    cancels the subsample's sampling noise exactly. See
+    :class:`MPCConfig.plan_correction`."""
+    n_p = cfg.n_particles
+    dt = cfg.clamped_dt()
+    dtype = state.x.dtype
+    k = (2.0 * jnp.pi / cfg.length) * jnp.arange(1, km + 1, dtype=dtype)
+    g = 2.0 * cfg.n0 / (n_p * k)
+    two_pi_over_l = 2.0 * jnp.pi / cfg.length
+
+    def body(carry, _):
+        x, vh = carry
+        x2 = jnp.mod(x + dt * vh, cfg.length)
+        t = two_pi_over_l * x2
+        c1, s1 = jnp.cos(t), jnp.sin(t)
+        c, s = _mode_sums(c1, s1, km)
+        vh2 = vh + 0.5 * dt * (-_mode_eval(c1, s1, 2.0 * (g * s), 2.0 * (-(g * c))))
+        return (x2, vh2), (c, s)
+
+    t0 = two_pi_over_l * state.x
+    c1_0, s1_0 = jnp.cos(t0), jnp.sin(t0)
+    c0, s0 = _mode_sums(c1_0, s1_0, km)
+    vh0 = state.v + 0.5 * dt * (-_mode_eval(c1_0, s1_0, g * s0, -(g * c0)))
+    _, (cs, ss) = jax.lax.scan(body, (state.x, vh0), None, length=mpc.horizon)
+    return cs, ss  # each (H, Km)
+
+
+def twin_targets(
+    full_x: jax.Array,
+    plan_state: PlasmaState,
+    plan_cfg: SimConfig,
+    full_cfg: SimConfig,
+    ctrl: ControlConfig,
+    mpc: MPCConfig,
+):
+    """Noise-correction targets for subsampled spectral planning, or None.
+
+    Returns ``(tc, ts)`` of shape (H, Km) each: the per-mode noise fraction
+    ``rho_m = 1 - lambda_m`` times the zero-drive twin's mode-sum trajectory.
+    ``lambda_m`` is the Wiener shrinkage coefficient of the subsample's mode
+    phasor estimated from the FULL state once per solve: with coherent
+    signal power ``sig2_m = max(|C_m|^2 + |S_m|^2 - N, 0)`` (the full-state
+    modal power minus its own Poisson shot floor ``E[C^2+S^2] = N`` for
+    random phases), subsample fraction r = n/N and subsample noise power
+    n(1-r) (sampling without replacement),
+
+        lambda_m = r^2 sig2_m / (r^2 sig2_m + n (1 - r))  in [0, 1).
+
+    Inactive (returns None) at full fidelity or when
+    ``mpc.plan_correction != "twin"``; requires the spectral plan model
+    (the grid planner has no per-mode phasor to correct — ``plan`` raises).
+    """
+    if mpc.plan_correction != "twin" or _plan_frac(full_cfg, mpc) >= 1.0:
+        return None
+    km = max(int(mpc.plan_modes), ctrl.max_mode)
+    dtype = plan_state.x.dtype
+    t = (2.0 * jnp.pi / full_cfg.length) * jnp.ravel(full_x).astype(dtype)
+    cf, sf = _mode_sums(jnp.cos(t), jnp.sin(t), km)
+    n_full = float(full_cfg.n_particles)
+    n_plan = float(plan_cfg.n_particles)
+    r = n_plan / n_full
+    sig2 = jnp.maximum(cf * cf + sf * sf - n_full, 0.0)
+    lam = (r * r * sig2) / (r * r * sig2 + n_plan * (1.0 - r))
+    rho = 1.0 - lam  # (Km,) noise fraction per mode
+    c0, s0 = _twin_mode_traj(plan_state, plan_cfg, mpc, km)
+    return rho * c0, rho * s0
 
 
 def _horizon_cost(
@@ -606,12 +709,16 @@ def _horizon_cost(
     cfg: SimConfig,
     mpc: MPCConfig,
     actuator: FourierActuator,
+    twin_target=None,
 ) -> jax.Array:
     """Cost of one candidate control sequence over the planning horizon."""
     if mpc.plan_model == "spectral":
-        return _horizon_cost_spectral(state, coeff_seq, cfg, mpc, actuator)
+        return _horizon_cost_spectral(state, coeff_seq, cfg, mpc, actuator,
+                                      twin_target=twin_target)
     if mpc.plan_integrator == "kdk":
         return _horizon_cost_kdk(state, coeff_seq, grid, cfg, mpc, actuator)
+
+    pe_f = _pe_factor(cfg, mpc)
 
     def body(carry: PlasmaState, u):
         e_ext = actuator.compute_e_packed(u)
@@ -619,6 +726,7 @@ def _horizon_cost(
             carry, e_ext, grid, cfg, mpc.exact_cost_energy,
             mpc.plan_integrator, mpc.plan_kernel,
         )
+        pe = pe_f * pe
         c = mpc.w_field * pe + mpc.w_input * actuator.input_energy(u)
         return new, (c, pe)
 
@@ -627,8 +735,14 @@ def _horizon_cost(
     return _finite_or_huge(total)
 
 
-def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
+def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator,
+                    twin_target=None):
     """(K, H, 2K) candidates -> (K,) costs, batched rollout.
+
+    ``twin_target``: optional ((H, Km), (H, Km)) noise-correction targets
+    from :func:`twin_targets` (``MPCConfig.plan_correction="twin"``) —
+    spectral plan model only; threaded through chunking and into the fused
+    Pallas kernel's corrected variant.
 
     With the spectral plan model on TPU the whole K x H block dispatches to
     one fused Pallas kernel (the horizon loop runs inside the kernel and the
@@ -668,10 +782,16 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
         chunks = coeff_seqs.reshape(k_pad // chunk, chunk,
                                     *coeff_seqs.shape[1:])
         out = jax.lax.map(
-            lambda c: candidate_costs(state, c, grid, cfg, inner, actuator),
+            lambda c: candidate_costs(state, c, grid, cfg, inner, actuator,
+                                      twin_target=twin_target),
             chunks,
         )
         return out.reshape(k_pad)[:k_total]
+    if twin_target is not None and mpc.plan_model != "spectral":
+        raise ValueError(
+            "plan_correction='twin' requires plan_model='spectral' — the "
+            "grid planner has no per-mode phasor to correct"
+        )
     if mpc.plan_model == "spectral" and _use_spectral_fused(
         mpc.plan_kernel, cfg.n_particles, jax.default_backend()
     ):
@@ -697,13 +817,19 @@ def candidate_costs(state, coeff_seqs, grid, cfg, mpc, actuator):
             n_particles=cfg.n_particles,
             interpret=jax.default_backend() != "tpu",
             rot=rot,
-        )  # (K, H) exact post-drift spectral-model PE
+            twin_c=None if twin_target is None else twin_target[0],
+            twin_s=None if twin_target is None else twin_target[1],
+        )  # (K, H) exact post-drift spectral-model PE (corrected if twinned)
+        pe = _pe_factor(cfg, mpc) * pe
         ie = actuator.input_energy(coeff_seqs)  # (K, H)
         total = _add_terminal(jnp.sum(mpc.w_field * pe + mpc.w_input * ie, axis=-1), pe, mpc)
         return _finite_or_huge(total)
     if mpc.plan_model == "grid":
         _reject_grid_pallas_kernel(mpc.plan_kernel)
-    return jax.vmap(lambda u: _horizon_cost(state, u, grid, cfg, mpc, actuator))(coeff_seqs)
+    return jax.vmap(
+        lambda u: _horizon_cost(state, u, grid, cfg, mpc, actuator,
+                                twin_target=twin_target)
+    )(coeff_seqs)
 
 
 def _gradient_refine(state, mean, grid, cfg, ctrl, mpc, actuator):
@@ -713,11 +839,14 @@ def _gradient_refine(state, mean, grid, cfg, ctrl, mpc, actuator):
     memory). This is the deterministic 'QP-correction' refinement layered on
     the sampling solve (SURVEY §7)."""
 
+    pe_f = _pe_factor(cfg, mpc)
+
     def cost_fn(u):
         def body(carry: PlasmaState, ut):
             e_ext = actuator.compute_e_packed(ut)
             new = jax.checkpoint(lambda s, e: step(s, grid, cfg, e))(carry, e_ext)
             pe, _ = _energies(new, grid, cfg)
+            pe = pe_f * pe
             return new, (mpc.w_field * pe + mpc.w_input * actuator.input_energy(ut), pe)
 
         _, (costs, pes) = jax.lax.scan(body, state, u)
@@ -874,7 +1003,13 @@ def _apply_fidelity_guard(plan_out, full_x, full_cfg, ctrl, mpc):
     # arm only when the stride arithmetic ACTUALLY drops particles — for
     # plan_particles in (N/2, N) the stride is 1, planning is full fidelity,
     # and zeroing the drive on fictitious injected noise would silently
-    # disable the controller (review finding 2026-08-20)
+    # disable the controller (review finding 2026-08-20). With the twin
+    # correction active the guard is bypassed entirely: the corrected cost
+    # removes the in-model noise-cancellation profit the guard exists to
+    # contain, and zeroing the drive would disable the controller exactly in
+    # the quiet regime the correction makes safe (MPCConfig.plan_correction).
+    if mpc.plan_correction == "twin":
+        return plan_out
     if not (mpc.fidelity_guard and _plan_frac(full_cfg, mpc) < 1.0):
         return plan_out
     safe = _fidelity_ratio(full_x, full_cfg, ctrl, mpc) >= mpc.fidelity_guard_ratio
@@ -928,8 +1063,14 @@ def plan(
     if actuator.n_mesh != grid.n_mesh:
         actuator = _actuator_cache(cfg.length, grid.n_mesh, actuator.max_mode, mean.dtype)
 
+    # Noise-floor correction for subsampled planning: Wiener shrinkage from
+    # the full state + the zero-drive twin trajectory, once per solve
+    # (None at full fidelity / when plan_correction="none").
+    target = twin_targets(full_x, state, cfg, full_cfg, ctrl, mpc)
+
     def costs_fn(st, cand):
-        return candidate_costs(st, cand, grid, cfg, mpc, actuator)
+        return candidate_costs(st, cand, grid, cfg, mpc, actuator,
+                               twin_target=target)
 
     out = _plan_impl(
         state, mean, sigma, key, grid, cfg, ctrl, mpc, actuator, costs_fn,

@@ -178,10 +178,18 @@ def spectral_horizon_supported(n_particles: int) -> bool:
 
 
 def _kernel(
-    x0_ref, v0_ref, mask_ref, u0c_ref, u0s_ref, pc_ref, ps_ref, pe_ref,
-    *, km: int, horizon: int, dt: float, length: float, g: tuple, inv_k2: tuple,
-    pe_scale: float, kb: int, rot: bool,
+    x0_ref, v0_ref, mask_ref, u0c_ref, u0s_ref, pc_ref, ps_ref, *rest,
+    km: int, horizon: int, dt: float, length: float, g: tuple, inv_k2: tuple,
+    pe_scale: float, kb: int, rot: bool, corrected: bool,
 ):
+    if corrected:
+        # noise-correction targets (1 - lambda_m)(c0, s0)(t) from the
+        # zero-drive twin (MPCConfig.plan_correction="twin"): the PE the
+        # cost sees is |(cm, sm) - (tc, ts)|^2 per mode — identical ops
+        # otherwise, two extra (1, H*Km) broadcast refs in
+        tc_ref, ts_ref, pe_ref = rest
+    else:
+        (pe_ref,) = rest
     c_ang = 2.0 * np.pi / length
     n = x0_ref.shape[1]
     mask = mask_ref[:]  # (1, N)
@@ -265,7 +273,12 @@ def _kernel(
             pc = 2.0 * (g[m] * sm) + pc_ref[:, col : col + 1]
             ps = 2.0 * (-(g[m] * cm)) + ps_ref[:, col : col + 1]
             acc = acc + pc * c_prev + ps * s_prev
-            pe = pe + (cm * cm + sm * sm) * inv_k2[m]
+            if corrected:
+                dcm = cm - tc_ref[:, col : col + 1]
+                dsm = sm - ts_ref[:, col : col + 1]
+                pe = pe + (dcm * dcm + dsm * dsm) * inv_k2[m]
+            else:
+                pe = pe + (cm * cm + sm * sm) * inv_k2[m]
         vh = vh + 0.5 * dt * (-acc)
         pe_ref[:, t : t + 1] = pe_scale * pe
 
@@ -286,8 +299,14 @@ def fused_spectral_horizon(
     n_particles: int,
     interpret: bool = False,
     rot: bool | None = None,  # None: PLASMA_SPECTRAL_DRIFT / static angle gate
+    twin_c: jax.Array | None = None,  # (H, Km) noise-correction target, or None
+    twin_s: jax.Array | None = None,
 ) -> jax.Array:
-    """(K, H) exact post-drift spectral-model field energies per candidate."""
+    """(K, H) exact post-drift spectral-model field energies per candidate.
+
+    With ``twin_c``/``twin_s`` set (``MPCConfig.plan_correction="twin"``),
+    the returned energies are the CORRECTED |phasor - target|^2 form — see
+    :func:`plasma_control_tpu.control.mpc.twin_targets`."""
     k_cand, horizon, km = u_c.shape
     n_pad = _round_up(n_particles, 128)
     use_rot = _use_rot(dt, length) if rot is None else rot
@@ -312,6 +331,7 @@ def fused_spectral_horizon(
     u0c = u_c[:, 0, :]
     u0s = u_s[:, 0, :]
 
+    corrected = twin_c is not None
     kv = 2.0 * np.pi / length * np.arange(1, km + 1)
     kernel = functools.partial(
         _kernel,
@@ -324,24 +344,36 @@ def fused_spectral_horizon(
         pe_scale=n0**2 / n_particles,
         kb=kb,
         rot=use_rot,
+        corrected=corrected,
     )
     bcast = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bcast_w = lambda width: pl.BlockSpec(
+        (1, width), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
     per_cand = lambda width: pl.BlockSpec(
         (kb, width), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        bcast,  # x0
+        bcast,  # v0
+        bcast,  # mask
+        per_cand(km),  # u0c
+        per_cand(km),  # u0s
+        per_cand(horizon * km),  # pair_c
+        per_cand(horizon * km),  # pair_s
+    ]
+    operands = [x0p, v0p, mask, u0c, u0s, pair_c, pair_s]
+    if corrected:
+        in_specs += [bcast_w(horizon * km), bcast_w(horizon * km)]
+        operands += [
+            twin_c.astype(jnp.float32).reshape(1, horizon * km),
+            twin_s.astype(jnp.float32).reshape(1, horizon * km),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(k_cand // kb,),
-        in_specs=[
-            bcast,  # x0
-            bcast,  # v0
-            bcast,  # mask
-            per_cand(km),  # u0c
-            per_cand(km),  # u0s
-            per_cand(horizon * km),  # pair_c
-            per_cand(horizon * km),  # pair_s
-        ],
+        in_specs=in_specs,
         out_specs=per_cand(horizon),
         out_shape=jax.ShapeDtypeStruct((k_cand, horizon), jnp.float32),
         interpret=interpret,
-    )(x0p, v0p, mask, u0c, u0s, pair_c, pair_s)
+    )(*operands)

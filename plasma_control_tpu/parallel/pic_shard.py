@@ -38,6 +38,7 @@ from ..control.mpc import (
     _reduce_state,
     _reduced_model,
     candidate_costs,
+    twin_targets,
 )
 from ..models.pic import PlasmaState
 from ..ops.deposit import deposit, gather
@@ -148,7 +149,27 @@ def _sharded_costs_closure(
     def _local(x, v, cand):
         return candidate_costs(PlasmaState(x, v), cand, plan_grid, plan_cfg, mpc, plan_act)
 
-    return lambda st, cand: _local(st.x, st.v, cand)
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def _local_corrected(x, v, cand, tc, ts):
+        # replicated (H, Km) noise-correction targets from twin_targets():
+        # each device applies the same correction to its local block
+        return candidate_costs(
+            PlasmaState(x, v), cand, plan_grid, plan_cfg, mpc, plan_act,
+            twin_target=(tc, ts),
+        )
+
+    def costs_fn(st, cand, target=None):
+        if target is None:
+            return _local(st.x, st.v, cand)
+        return _local_corrected(st.x, st.v, cand, target[0], target[1])
+
+    return costs_fn
 
 
 def make_sharded_plan(
@@ -185,8 +206,10 @@ def make_sharded_plan(
     @jax.jit
     def plan_fn(state: PlasmaState, mean, sigma, key):
         pstate = _reduce_state(state, cfg, mpc)
+        target = twin_targets(state.x, pstate, plan_cfg, cfg, ctrl, mpc)
         out = _plan_impl(
-            pstate, mean, sigma, key, plan_grid, plan_cfg, ctrl, mpc, plan_act, costs_fn
+            pstate, mean, sigma, key, plan_grid, plan_cfg, ctrl, mpc, plan_act,
+            lambda st, cand: costs_fn(st, cand, target),
         )
         return _apply_fidelity_guard(out, state.x, cfg, ctrl, mpc)
 
@@ -222,8 +245,10 @@ def make_sharded_mpc_rollout(
 
     def plan_fn(st, mean, sigma, k):
         pstate = _reduce_state(st, cfg, mpc)
+        target = twin_targets(st.x, pstate, plan_cfg, cfg, ctrl, mpc)
         out = _plan_impl(
-            pstate, mean, sigma, k, plan_grid, plan_cfg, ctrl, mpc, plan_act, costs_fn
+            pstate, mean, sigma, k, plan_grid, plan_cfg, ctrl, mpc, plan_act,
+            lambda s2, cand: costs_fn(s2, cand, target),
         )
         return _apply_fidelity_guard(out, st.x, cfg, ctrl, mpc)
 

@@ -80,7 +80,9 @@ def main():
 
     from plasma_control_tpu.control.mpc import _plan_frac, plan_fidelity_check
 
-    if _plan_frac(cfg, mpc) < 1.0:
+    if _plan_frac(cfg, mpc) < 1.0 and mpc.plan_correction == "none":
+        # with --plan_correction twin the subsampled cost is noise-corrected
+        # (MPCConfig.plan_correction) and this warning does not apply
 
         chk = plan_fidelity_check(state, cfg, ctrl, mpc)
         if not chk["safe"]:

@@ -487,17 +487,24 @@ class TestTerminalCost:
 
     def test_growth_terminal_closed_loop_suppresses(self):
         """Short horizon + growth tail estimator suppresses the instability
-        (bench-scale quality gate: experiments/bench_fidelity_study.py)."""
-        cfg = tiny_cfg(t_max=8.0)
+        (bench-scale quality gate: experiments/bench_fidelity_study.py).
+        Two paired seeds, t_max=10: the old single-seed t_max=8 variant
+        passed by <2% on a chaotic near-tie (H=4/K=32 is a deliberately weak
+        setting) and flipped on unrelated cost-constant changes."""
+        cfg = tiny_cfg(t_max=10.0)
         grid = make_grid(cfg.n_mesh, cfg.length)
         act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
-        st = init_state(cfg, jax.random.PRNGKey(0))
         mpc = MPCConfig(horizon=4, n_candidates=32,
                         terminal_mode="growth", terminal_steps=6)
-        out = mpc_rollout(st, grid, cfg, CTRL, mpc, act, jax.random.PRNGKey(1))
-        un = rollout(st, grid, cfg)
-        assert np.isfinite(np.asarray(out.field_energy)).all()
-        assert float(jnp.mean(out.field_energy[-20:])) < float(jnp.mean(un.field_energy[-20:]))
+        tails_c, tails_u = [], []
+        for s in range(2):
+            st = init_state(cfg, jax.random.PRNGKey(s))
+            out = mpc_rollout(st, grid, cfg, CTRL, mpc, act,
+                              jax.random.PRNGKey(100 + s))
+            assert np.isfinite(np.asarray(out.field_energy)).all()
+            tails_c.append(float(jnp.mean(out.field_energy[-20:])))
+            tails_u.append(float(jnp.mean(rollout(st, grid, cfg).field_energy[-20:])))
+        assert np.mean(tails_c) < np.mean(tails_u), (tails_c, tails_u)
 
     def test_terminal_cost_closed_loop_suppresses(self):
         """Short horizon + terminal tail cost still suppresses the
@@ -741,3 +748,178 @@ class TestDynamicFidelityGuard:
         a, m, best = plan(PlasmaState(x, v), jnp.zeros((4, 4)), jnp.asarray(0.3),
                           jax.random.PRNGKey(2), grid, cfg, ctrl, mpc, act)
         assert np.any(np.asarray(a) != 0.0)
+
+
+class TestTwinCorrection:
+    """Noise-floor-corrected subsampled planning (MPCConfig.plan_correction=
+    "twin", VERDICT r4 #1): Wiener shrinkage from the full state + a
+    zero-drive CRN twin of the plan subsample remove the in-model profit of
+    cancelling phantom subsample noise."""
+
+    def _quiet(self, n=1000, seed=0):
+        cfg = tiny_cfg(n_particles=n)
+        x = jax.random.uniform(jax.random.PRNGKey(seed), (n,)) * cfg.length
+        v = jax.random.normal(jax.random.PRNGKey(seed + 1), (n,))
+        return cfg, PlasmaState(x, v)
+
+    def test_zero_candidate_pays_almost_nothing(self):
+        """On a quiet (noise-only) plasma the corrected field cost of the
+        zero-drive candidate is the lambda-shrunk coherent estimate — orders
+        of magnitude below the uncorrected subsample's phantom noise
+        energy."""
+        from plasma_control_tpu.control.mpc import _plan_model, twin_targets
+
+        cfg, st = self._quiet()
+        mpc = MPCConfig(horizon=4, n_candidates=4, plan_modes=8,
+                        plan_particles=250, w_input=0.0, fidelity_guard=False,
+                        plan_correction="twin")
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        pstate, pgrid, pcfg = _plan_model(st, grid, cfg, mpc)
+        target = twin_targets(st.x, pstate, pcfg, cfg, CTRL, mpc)
+        assert target is not None
+        zero = jnp.zeros((4, 4, 4))
+        c_plain = float(candidate_costs(pstate, zero, pgrid, pcfg, mpc, act)[0])
+        c_corr = float(candidate_costs(pstate, zero, pgrid, pcfg, mpc, act,
+                                       twin_target=target)[0])
+        assert c_corr < 0.05 * c_plain, (c_corr, c_plain)
+
+    def test_full_fidelity_correction_is_inactive(self):
+        from plasma_control_tpu.control.mpc import twin_targets
+
+        cfg, st = self._quiet()
+        mpc = MPCConfig(plan_correction="twin")  # no plan_particles
+        assert twin_targets(st.x, st, cfg, cfg, CTRL, mpc) is None
+        # and the full plan program is identical with/without the flag
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        import dataclasses as dc
+        base = MPCConfig(horizon=4, n_candidates=16, plan_modes=8)
+        args = (jnp.zeros((4, 4)), jnp.asarray(0.3), jax.random.PRNGKey(2),
+                grid, cfg, CTRL)
+        a0, m0, b0 = plan(st, args[0], args[1], args[2], grid, cfg, CTRL, base, act)
+        a1, m1, b1 = plan(st, args[0], args[1], args[2], grid, cfg, CTRL,
+                          dc.replace(base, plan_correction="twin"), act)
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+
+    def test_coherent_state_correction_is_small(self):
+        """Strong mode-1 bunching: lambda ~ 1, the correction targets are
+        tiny, and corrected costs track the uncorrected ones."""
+        from plasma_control_tpu.control.mpc import _plan_model, twin_targets
+
+        cfg = tiny_cfg(n_particles=2000)
+        n = cfg.n_particles
+        x0 = jnp.linspace(0.0, cfg.length, n, endpoint=False)
+        x = jnp.mod(x0 + 3.0 * jnp.sin(2 * jnp.pi * x0 / cfg.length), cfg.length)
+        v = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n,))
+        st = PlasmaState(x, v)
+        mpc = MPCConfig(horizon=4, n_candidates=24, plan_modes=8,
+                        plan_particles=500, fidelity_guard=False,
+                        plan_correction="twin")
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        pstate, pgrid, pcfg = _plan_model(st, grid, cfg, mpc)
+        target = twin_targets(st.x, pstate, pcfg, cfg, CTRL, mpc)
+        assert target is not None
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (24, 4, 4))
+        c_plain = np.asarray(candidate_costs(pstate, cand, pgrid, pcfg, mpc, act))
+        c_corr = np.asarray(candidate_costs(pstate, cand, pgrid, pcfg, mpc, act,
+                                            twin_target=target))
+        np.testing.assert_allclose(c_corr, c_plain, rtol=0.25)
+        # and the ranking is essentially unchanged
+        r0 = np.argsort(np.argsort(c_plain)).astype(float)
+        r1 = np.argsort(np.argsort(c_corr)).astype(float)
+        assert np.corrcoef(r0, r1)[0, 1] > 0.95
+
+    def test_corrected_subsampled_does_not_pump_quiet_plasma(self):
+        """THE hazard case with the guard replaced by the correction: the
+        closed loop may drive, but must not pump the quiet plasma above
+        uncontrolled levels (the uncorrected/unguarded planner pumps ~10x,
+        DEVNOTES 2026-08-19)."""
+        cfg = SimConfig(simcase="bump-on-tail", n_particles=2000, n_mesh=32,
+                        dt=0.1, t_max=6.0, length=50.0)
+        ctrl = ControlConfig(max_mode=2)
+        mpc = MPCConfig(horizon=4, n_candidates=32, plan_modes=8,
+                        plan_particles=500, plan_correction="twin")
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        out = mpc_rollout(st, grid, cfg, ctrl, mpc, act, jax.random.PRNGKey(3))
+        un = rollout(st, grid, cfg, n_steps=cfg.n_steps)
+        tail = lambda a: float(np.mean(np.asarray(a)[-10:]))
+        assert tail(out.field_energy) <= 1.5 * tail(un.field_energy), (
+            tail(out.field_energy), tail(un.field_energy))
+
+    def test_fused_corrected_matches_xla(self):
+        """Interpret-mode Pallas corrected kernel == XLA corrected spectral
+        path (same CRN twin targets) to fp32 reassociation."""
+        import dataclasses as dc
+
+        from plasma_control_tpu.control.mpc import (
+            _horizon_cost_spectral, _plan_model, twin_targets)
+        from plasma_control_tpu.ops.pallas.spectral_horizon import (
+            fused_spectral_horizon)
+
+        cfg, st = self._quiet(n=1000)
+        ctrl = CTRL
+        mpc = MPCConfig(horizon=4, n_candidates=8, plan_modes=8,
+                        plan_particles=250, w_input=0.0,
+                        plan_correction="twin")
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        pstate, pgrid, pcfg = _plan_model(st, grid, cfg, mpc)
+        target = twin_targets(st.x, pstate, pcfg, cfg, ctrl, mpc)
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4))
+        xla = np.asarray(jax.vmap(
+            lambda u: _horizon_cost_spectral(pstate, u, pcfg, mpc, act,
+                                             twin_target=target)
+        )(cand))
+        km = mpc.plan_modes
+        uc = jnp.concatenate([cand[..., :2], jnp.zeros((8, 4, km - 2))], -1)
+        us = jnp.concatenate([cand[..., 2:], jnp.zeros((8, 4, km - 2))], -1)
+        pe = fused_spectral_horizon(
+            pstate.x, pstate.v, uc, us, length=pcfg.length,
+            dt=pcfg.clamped_dt(), n0=pcfg.n0, n_particles=pcfg.n_particles,
+            interpret=True, rot=False, twin_c=target[0], twin_s=target[1])
+        from plasma_control_tpu.control.mpc import _pe_factor
+        fused = np.asarray(jnp.sum(mpc.w_field * _pe_factor(pcfg, mpc) * pe,
+                                   axis=-1))
+        np.testing.assert_allclose(fused, xla, rtol=2e-4)
+
+
+class TestScaleFreeCost:
+    """MPCConfig.cost_pe_nref (VERDICT r4 #3): the plan field energy is
+    normalized to the reference particle count so one w_input balances field
+    vs drive at every N and every plan fidelity."""
+
+    def test_factor_exact_at_reference_scale(self):
+        from plasma_control_tpu.control.mpc import _pe_factor
+
+        cfg = SimConfig(n_particles=5000)
+        assert _pe_factor(cfg, MPCConfig()) == 1.0
+        assert _pe_factor(cfg, MPCConfig(cost_pe_nref=None)) == 1.0
+        assert _pe_factor(SimConfig(n_particles=50000), MPCConfig()) == 0.1
+
+    @pytest.mark.parametrize("model", ["spectral", "grid"])
+    def test_field_cost_scales_with_nref(self, model):
+        """With w_input=0 the whole cost is the field term: doubling nref
+        must exactly double every candidate cost, on every planning path."""
+        import dataclasses as dc
+
+        cfg = tiny_cfg()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, CTRL.max_mode)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        cand = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4))
+        base = MPCConfig(horizon=4, n_candidates=8, plan_model=model,
+                         w_input=0.0, cost_pe_nref=float(cfg.n_particles))
+        c1 = np.asarray(candidate_costs(st, cand, grid, cfg, base, act))
+        c2 = np.asarray(candidate_costs(
+            st, cand, grid, cfg,
+            dc.replace(base, cost_pe_nref=2.0 * cfg.n_particles), act))
+        np.testing.assert_allclose(c2, 2.0 * c1, rtol=1e-6)
+        # and nref == n gives the raw (None) cost exactly
+        c0 = np.asarray(candidate_costs(
+            st, cand, grid, cfg, dc.replace(base, cost_pe_nref=None), act))
+        np.testing.assert_allclose(c1, c0, rtol=1e-6)

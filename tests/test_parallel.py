@@ -328,3 +328,22 @@ class TestUnifiedShardedPlanner:
         pic_shard.sharded_plan(st, mean, jnp.asarray(0.3), jax.random.PRNGKey(1), mesh, grid, cfg, ctrl, mpc, act)
         assert len(pic_shard._SHARDED_PLANS) == 1
         assert next(iter(pic_shard._SHARDED_PLANS.values())) is fn
+
+    def test_sharded_plan_with_twin_correction(self, devices8):
+        """Noise-corrected subsampled planning (plan_correction="twin")
+        sharded over the rollout axis == the single-device corrected solve:
+        the replicated (H, Km) twin targets cross into shard_map as explicit
+        broadcast args."""
+        from plasma_control_tpu.parallel.pic_shard import make_sharded_plan
+
+        cfg, mpc, ctrl, grid, act, st = self._setup(
+            plan_particles=512, plan_correction="twin"
+        )
+        mesh = make_mesh(axis_names=("rollout",))
+        plan_fn = make_sharded_plan(mesh, grid, cfg, ctrl, mpc, act)
+        mean = jnp.zeros((4, 4))
+        k = jax.random.PRNGKey(11)
+        a0, m0, b0 = plan(st, mean, jnp.asarray(0.3), k, grid, cfg, ctrl, mpc, act)
+        a1, m1, b1 = plan_fn(st, mean, jnp.asarray(0.3), k)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-5)
