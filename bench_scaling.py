@@ -367,11 +367,148 @@ def config6():
               totals={str(nd): round(r, 1) for nd, r in rows}, virtual=virtual)
 
 
+def slice_profile():
+    """Real-multi-chip handoff profile (VERDICT r4 #9): ONE documented
+    command for the first session that gets a real TPU slice —
+
+        python bench_scaling.py --slice
+
+    runs the three hardware-blocked workloads at full size over ALL attached
+    devices, checks each against the expected-performance model extrapolated
+    from the committed single-chip v5e artifacts, and writes
+    SLICE_PROFILE.json. Dry-runnable end-to-end on the virtual mesh
+    (tested in CI via tests/test_cli.py):
+
+        python bench_scaling.py --slice --force_cpu --virtual_devices 8
+
+    shrinks shapes (virtual devices timeshare one CPU; full sizes would take
+    hours and measure nothing) and skips the perf assertions, but exercises
+    the identical code path — mesh build, sharded planner, particle-sharded
+    step, K-scaling loop, artifact write — so the real-slice session spends
+    zero time on plumbing.
+
+    Expected numbers (1x v5e references, SCALING_r04/BENCH_r04):
+      A. config-4 full-fidelity sharded solve (N=100k, K=384/device): per-
+         device rate within 2x of the single-chip 21.2 solves/s (zero comms
+         inside a solve; the cost gather is K scalars).
+      B. config-5 particle-sharded 1M push: >= 0.5x linear on the
+         single-chip 1.5e8 particle-push/s (one (M,) psum per field solve).
+      C. K-scaling curve for the sharded planner at bench shapes
+         (N=5000/Km=8/H=6): total solves/s flat-to-linear as K grows with
+         devices; per-device reference 2953 solves/s at K=384 (BENCH_r04).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from plasma_control_tpu.config import ControlConfig, MPCConfig, SimConfig
+    from plasma_control_tpu.control.actuator import make_actuator
+    from plasma_control_tpu.models.pic import init_state
+    from plasma_control_tpu.ops.grid import make_grid
+    from plasma_control_tpu.parallel.mesh import make_mesh
+    from plasma_control_tpu.parallel.pic_shard import (
+        make_particle_sharded_step, make_sharded_plan)
+    from plasma_control_tpu.utils.timing import mpc_solve_rate, slope_time
+
+    devs = jax.devices()
+    nd = len(devs)
+    virtual = devs[0].platform == "cpu"
+    out = {"devices": nd, "device0": str(devs[0]), "virtual": virtual,
+           "rows": {}}
+
+    def record(name, row, ok):
+        row["ok"] = bool(ok)
+        out["rows"][name] = row
+        _emit(f"slice-{name}", row.get("value", float(ok)),
+              row.get("unit", "ok"), **{k: v for k, v in row.items()
+                                        if k not in ("value", "unit")})
+
+    # ---- A. config-4 full-fidelity sharded MPC solve -----------------------
+    n4 = 100_000 if not virtual else 4096
+    k_per_dev = 384 if not virtual else 16
+    cfg4 = SimConfig(simcase="two-stream", n_particles=n4, n_mesh=256, dt=0.1)
+    ctrl4 = ControlConfig(max_mode=8)
+    mpc4 = MPCConfig(horizon=10, plan_modes=16, n_candidates=k_per_dev * nd)
+    grid4 = jax.device_put(make_grid(cfg4.n_mesh, cfg4.length))
+    act4 = make_actuator(cfg4.length, cfg4.n_mesh, ctrl4.max_mode)
+    st4 = init_state(cfg4, jax.random.PRNGKey(0))
+    mesh = make_mesh(axis_names=("rollout",))
+    plan_fn = make_sharded_plan(mesh, grid4, cfg4, ctrl4, mpc4, act4)
+    r4 = mpc_solve_rate(st4, grid4, cfg4, ctrl4, mpc4, act4,
+                        r1=2, r2=12 if virtual else 22, plan_fn=plan_fn)
+    rate4 = r4["solves_per_s"]
+    exp4 = 21.2 * nd  # single-chip gated full-fid rate x devices
+    record("config4-fullfid-sharded", {
+        "value": round(rate4, 2), "unit": "solves/s", "N": n4,
+        "K_total": k_per_dev * nd, "expected_if_linear": exp4,
+        "single_chip_reference": "SCALING_r04 4-mpc-joint-fullfid-gated 21.2",
+    }, ok=virtual or (rate4 == rate4 and rate4 >= 0.5 * exp4))
+
+    # ---- B. config-5 particle-sharded push at full size --------------------
+    n5 = (1_000_000 if not virtual else 16384) // nd * nd
+    cfg5 = SimConfig(simcase="two-stream", n_particles=n5, n_mesh=256, dt=0.1)
+    grid5 = jax.device_put(make_grid(cfg5.n_mesh, cfg5.length))
+    mesh5 = make_mesh(axis_names=("particle",))
+    st5 = init_state(cfg5, jax.random.PRNGKey(0))
+    sh = NamedSharding(mesh5, P("particle"))
+    x5, v5 = jax.device_put(st5.x, sh), jax.device_put(st5.v, sh)
+    step5 = make_particle_sharded_step(mesh5, grid5, cfg5)
+    e0 = jnp.zeros(cfg5.n_mesh)
+    sec5 = slope_time(lambda c: step5(c[0], c[1], e0), (x5, v5), r1=2, r2=22)
+    pps = n5 / sec5 if sec5 > 0 else float("nan")
+    exp5 = 1.57e8 * nd
+    record("config5-particle-sharded-push", {
+        "value": round(pps, 0), "unit": "particle-push/s", "N": n5,
+        "expected_if_linear": exp5,
+        "single_chip_reference": "SCALING_r04 config-5 1.57e8/s",
+    }, ok=virtual or (pps == pps and pps >= 0.5 * exp5))
+
+    # ---- C. sharded-planner K-scaling curve at bench shapes ----------------
+    nb = 5000 if not virtual else 2048
+    cfgb = SimConfig(simcase="bump-on-tail", n_particles=nb, n_mesh=250, dt=0.1)
+    ctrlb = ControlConfig(max_mode=4)
+    gridb = jax.device_put(make_grid(cfgb.n_mesh, cfgb.length))
+    actb = make_actuator(cfgb.length, cfgb.n_mesh, ctrlb.max_mode)
+    stb = init_state(cfgb, jax.random.PRNGKey(0))
+    curve = {}
+    for d in sorted({1, max(2, nd // 2), nd}):
+        if d > nd:
+            continue
+        kd = (384 if not virtual else 16) * d
+        mpcb = MPCConfig(horizon=6, w_terminal=4.0, n_candidates=kd,
+                         plan_modes=8)
+        mesh_d = make_mesh(axis_names=("rollout",), devices=devs[:d])
+        pf = make_sharded_plan(mesh_d, gridb, cfgb, ctrlb, mpcb, actb)
+        rb = mpc_solve_rate(stb, gridb, cfgb, ctrlb, mpcb, actb,
+                            r1=2, r2=12 if virtual else 32, plan_fn=pf)
+        sps = rb["solves_per_s"]
+        curve[str(d)] = {"K": kd,
+                         "solves_per_s": round(sps, 1) if sps == sps else None}
+    record("config6-sharded-k-scaling", {
+        "value": float(len(curve)), "unit": "curve points", "curve": curve,
+        "single_chip_reference": "BENCH_r04 2953 solves/s at K=384",
+    }, ok=all(v["solves_per_s"] for v in curve.values()))
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SLICE_PROFILE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"config": "slice-profile", "wrote": path,
+                      "all_ok": all(r["ok"] for r in out["rows"].values()),
+                      "virtual": virtual}))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", default="1,2,3,4,5")
     p.add_argument("--force_cpu", action="store_true")
     p.add_argument("--virtual_devices", type=int, default=0)
+    p.add_argument("--slice", action="store_true",
+                   help="real-multi-chip handoff profile: configs 4/5/6 at "
+                        "full size over all devices with expected-performance "
+                        "assertions (see slice_profile docstring); dry-runs "
+                        "on the virtual mesh with --force_cpu "
+                        "--virtual_devices 8")
     args = p.parse_args()
 
     import jax
@@ -380,8 +517,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.virtual_devices:
         jax.config.update("jax_num_cpu_devices", args.virtual_devices)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.slice:
+        slice_profile()
+        return
 
     fns = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5, "6": config6}
     for c in args.configs.split(","):

@@ -73,9 +73,6 @@ if __name__ == "__main__":
         # scale-free cost gate: the r4 controller of record under the new
         # normalized-cost default (r4 ran raw cost; w_input stays 0.05)
         "fullfid_K384": MPCConfig(n_candidates=384, **full),
-        # VERDICT #4: the r4 crash row, chunked
-        "fullfid_K1024_chunk256": MPCConfig(n_candidates=1024, plan_chunk=256,
-                                            **full),
         # the r4 rate-row planner under the new cost default (ablation base)
         "sub2048_K4096_plain": MPCConfig(n_candidates=4096,
                                          plan_particles=2048, **sub),
@@ -87,7 +84,18 @@ if __name__ == "__main__":
         "sub10000_K1024_corr": MPCConfig(n_candidates=1024,
                                          plan_particles=10000,
                                          plan_correction="twin", **sub),
+        # VERDICT #4: the r4 K=1024 full-fidelity crash row. MEASURED r5
+        # (2026-08-21, this artifact's k1024_notes): with plan_chunk=256 the
+        # live plan state (256 x 100k planes) is SMALLER than the working
+        # unchunked K=384 row's, yet a single 500-step launch still crashed
+        # the TPU worker -> the crash is launch size/time, not K x N memory.
+        # The distinguishing follow-up runs the same program in 50-step
+        # segments (io/resume.py, the config-5 mechanism). LAST so a crash
+        # cannot block the frontier rows.
+        "fullfid_K1024_chunk256_seg50": MPCConfig(n_candidates=1024,
+                                                  plan_chunk=256, **full),
     }
+    SEGMENTED = {"fullfid_K1024_chunk256_seg50"}
     if wanted:
         variants = {k: v for k, v in variants.items() if k in wanted}
 
@@ -137,9 +145,19 @@ if __name__ == "__main__":
                 continue
             st = init_state(cfg, jax.random.PRNGKey(cfg.seed + s))
             t0 = time.perf_counter()
-            out = mpc_rollout(st, grid, cfg, ctrl, mpc, act,
-                              jax.random.PRNGKey(cfg.seed + 100 + s))
-            row = stats(out.field_energy, out.input_energy)
+            if name in SEGMENTED:
+                from plasma_control_tpu.io.resume import resumable_mpc_rollout
+
+                _, traces = resumable_mpc_rollout(
+                    st, grid, cfg, ctrl, mpc, act,
+                    jax.random.PRNGKey(cfg.seed + 100 + s),
+                    ckpt_path=f"/tmp/c4f_{name}_seed{s}", segment_steps=50)
+                pe_t, ie_t = traces["field_energy"], traces["input_energy"]
+            else:
+                out = mpc_rollout(st, grid, cfg, ctrl, mpc, act,
+                                  jax.random.PRNGKey(cfg.seed + 100 + s))
+                pe_t, ie_t = out.field_energy, out.input_energy
+            row = stats(pe_t, ie_t)
             row["seed"] = s
             rows.append(row)
             checkpoint()
@@ -185,6 +203,15 @@ if __name__ == "__main__":
             "r4_reference": "results_r4/config4_quality.json: fullfid_K384 raw "
                             "cost 116.4, sub2048_K4096 raw 9324, uncontrolled "
                             "18160 (8 seeds, same seed scheme)",
+            "k1024_notes": "fullfid K=1024 with plan_chunk=256 in ONE "
+                           "500-step launch crashed the TPU worker "
+                           "(2026-08-21, seed 0 — same failure as r4's "
+                           "unchunked attempt) even though chunk=256 holds "
+                           "LESS live plan state than the working unchunked "
+                           "K=384 row: the crash is launch size/time, not "
+                           "K x N memory (closing VERDICT r4 #4's "
+                           "speculation). The *_seg50 row runs the identical "
+                           "program in 50-step segments",
         },
         "summary": summary,
         "solve_rates": rates,

@@ -77,6 +77,7 @@ def mpc_solve_rate(
     r1: int = 2,
     r2: int = 52,
     trials: int = 5,
+    plan_fn=None,
 ) -> dict:
     """Canonical MPC solves/s measurement: two-length warm-started solve
     chains (exactly the receding-horizon production pattern — each solve
@@ -99,6 +100,12 @@ def mpc_solve_rate(
     """
     from ..control.mpc import plan
 
+    if plan_fn is None:
+        # default: the single-device solve; pass e.g. a make_sharded_plan
+        # closure to rate a multi-chip planner with the same methodology
+        def plan_fn(st, mn_c, sg, k):
+            return plan(st, mn_c, sg, k, grid, cfg, ctrl, mpc, actuator)
+
     mean = jnp.zeros((mpc.horizon, ctrl.n_actions), dtype=jnp.float32)
     sigma = jnp.asarray(mpc.sigma0, dtype=jnp.float32)
 
@@ -109,7 +116,7 @@ def mpc_solve_rate(
             mn_c, best = carry
 
             def do(_):
-                _, new_mean, b = plan(st, mn_c, sigma, k, grid, cfg, ctrl, mpc, actuator)
+                _, new_mean, b = plan_fn(st, mn_c, sigma, k)
                 return new_mean, b
 
             def skip(_):
