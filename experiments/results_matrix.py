@@ -157,12 +157,28 @@ if __name__ == "__main__":
         "mpc": lambda st, k: mpc_rollout(
             st, lgrid, lcfg, ctrl, lmpc, lact, k).field_energy,
     }
+    # landau DAgger actor (VERDICT r4 #6: 4 controllers x 3 simcases) —
+    # trained at this exact config by run_dagger.py, committed weights
+    lactor_path = os.path.join(root, "artifacts", "dagger_actor_landau.msgpack")
+    if os.path.exists(lactor_path):
+        lnets, lts = make_ddpg(
+            lcfg, ctrl,
+            DDPGConfig(encoder="spectral",
+                       output_min=ctrl.coeff_min, output_max=ctrl.coeff_max),
+            jax.random.PRNGKey(lcfg.seed + 7))
+        lactor_params = load_params(lactor_path, lts.actor_params)
+        l_action = lambda s: lnets.actor.sample(lactor_params, s[None])[0]
+        lruns["dagger"] = lambda st, k: policy_rollout(
+            st, lgrid, lcfg, lact, l_action, record_snapshots=False
+        ).field_energy
     lcase = {}
     for name, fn in lruns.items():
-        thirds_all, tails = [], []
+        thirds_all, tails, trace0 = [], [], None
         for s in range(n_seeds):
             st = init_state(lcfg, jax.random.PRNGKey(lcfg.seed + s))
             pe = np.asarray(fn(st, jax.random.PRNGKey(lcfg.seed + 100 + s)))
+            if s == 0:
+                trace0 = pe
             n3 = len(pe) // 3
             thirds_all.append([round(float(pe[i*n3:(i+1)*n3].mean()), 2)
                                for i in range(3)])
@@ -177,15 +193,35 @@ if __name__ == "__main__":
                                for i in range(3)],
             "tail_pe_per_seed": tails,
             "tail_pe_mean": round(float(np.mean(tails)), 3),
+            "pe_trace_seed0_decimated": [round(float(v), 4) for v in trace0[::5]],
+            "trace_dt": lcfg.dt * 5,
         }
     matrix["landau"] = lcase
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name in lruns:
+        pe = np.asarray(lcase[name]["pe_trace_seed0_decimated"])
+        t = lcase[name]["trace_dt"] * (1 + np.arange(len(pe)))
+        ax.semilogy(t, pe, label=name)
+    ax.set_xlabel("t")
+    ax.set_ylabel(r"field energy $\propto \langle E^2 \rangle$")
+    ax.set_title("landau: controller matrix (seed 0, N=2000/M=32)")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, "log_E_landau.pdf"))
+    plt.close(fig)
 
     meta = {
         "config": "N=5000 M=250 t_max=50 dt=0.1 max_mode=3 (reference run_ddpg defaults)",
         "landau_config": "N=2000 M=32 t_max=15 A=0.3 mode-2 (the validated "
-                         "landau simcase; {wo-oc, feedback, mpc} only — no "
-                         "committed dagger actor for this case); statistic = "
-                         "PE means over t-thirds",
+                         "landau simcase); statistic = PE means over "
+                         "t-thirds; dagger row present when "
+                         "artifacts/dagger_actor_landau.msgpack is committed "
+                         "(r5: 4 controllers x 3 simcases)",
         "mpc": "H=6 w_terminal=4 K=512 Km=8 full-fidelity spectral (bench-gated); "
                "spectral_drift UNSET = shipping default 'auto' (rot at these "
                "shapes; certified equal on all simcases at 112 paired rollouts, "

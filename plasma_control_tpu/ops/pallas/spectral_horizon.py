@@ -153,13 +153,26 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kb_clamped(n_pad: int, rot: bool) -> int:
+def _kb_clamped(n_pad: int, rot: bool, corrected: bool = False) -> int:
     """The tile actually launched: env override or shape default, both
     clamped to the empirical tall-shape ceiling (KB>8 above N_pad=5632
     reproduces the measured Mosaic scoped-vmem compile OOM — an env
-    override must not bypass the clamp; review finding r4)."""
+    override must not bypass the clamp; review finding r4).
+
+    ``corrected`` kernels (twin-correction refs + per-mode difference
+    temporaries) measure ~35 live (KB, N_pad) fp32 tile-planes of scoped
+    vmem vs the plain kernel's ~24 at bench shapes (measured 2026-08-21:
+    corrected KB=32 at N_pad=4224 OOMs at 17.92M vs the 16M limit, while
+    plain KB=32 at N_pad=5120 fits; plain tall shapes already show the
+    ~35-plane regime — KB=16 at N_pad=10112 OOMed at 23.1M in r4). The
+    corrected clamp therefore bounds KB*N_pad*4*35 <= 16M, i.e.
+    KB*N_pad <= ~114k, on top of every other clamp."""
     kb = _KB if _KB is not None else _kb_default(n_pad, rot)
-    return min(kb, 8) if n_pad > 5632 else kb
+    if n_pad > 5632:
+        kb = min(kb, 8)
+    if corrected:
+        kb = min(kb, max(8, (114_688 // n_pad) // 8 * 8))
+    return kb
 
 
 def spectral_horizon_supported(n_particles: int) -> bool:
@@ -313,8 +326,8 @@ def fused_spectral_horizon(
     # largest tile <= the target that divides K (sub-sublane tiles are legal,
     # just less efficient — keeps sharded local blocks of any size working);
     # target = env override or the shape/drift-aware measured default, both
-    # clamped to the tall-shape scoped-vmem ceiling (_kb_clamped)
-    kb_t = _kb_clamped(n_pad, use_rot)
+    # clamped to the tall-shape/corrected scoped-vmem ceilings (_kb_clamped)
+    kb_t = _kb_clamped(n_pad, use_rot, corrected=twin_c is not None)
     kb = next(
         d for d in dict.fromkeys((kb_t, 32, 16, 8, 4, 2, 1))
         if d <= kb_t and k_cand % d == 0

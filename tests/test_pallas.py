@@ -232,3 +232,23 @@ class TestSpectralDrift:
         np.testing.assert_allclose(costs["rot"], costs["trig"], rtol=2e-4, atol=1e-6)
         # not bit-identical: the rot path must actually be different code
         assert not np.array_equal(costs["rot"], costs["trig"])
+
+
+class TestCorrectedKbClamp:
+    def test_corrected_tile_respects_scoped_vmem_model(self):
+        """Twin-corrected kernels need ~35 live (KB, N_pad) scoped-vmem tile
+        planes vs the plain kernel's ~24 (measured OOM: corrected KB=32 at
+        N_pad=4224 hit 17.92M vs the 16M limit, 2026-08-21) — the clamp
+        bounds KB*N_pad <= ~114k for corrected launches and leaves plain
+        launches untouched."""
+        from plasma_control_tpu.ops.pallas.spectral_horizon import _kb_clamped
+
+        # the hardware-verified working corrected shape keeps its tile
+        assert _kb_clamped(2176, True, corrected=True) == 32
+        # the measured-OOM shape must clamp below 32
+        assert _kb_clamped(4224, True, corrected=True) <= 24
+        assert _kb_clamped(4224, True, corrected=True) * 4224 <= 114_688
+        # tall shapes stay at the r4 empirical ceiling
+        assert _kb_clamped(10112, True, corrected=True) == 8
+        # plain launches are unchanged by the corrected clamp
+        assert _kb_clamped(4224, True, corrected=False) == _kb_clamped(4224, True)
