@@ -230,21 +230,38 @@ def config4():
     res = mpc_solve_rate(st, grid, cfg, ctrl, mpc, act, r1=2, r2=22)
     # Closed-loop QUALITY at this scale (VERDICT r3 #1: the rate row must
     # carry suppression evidence, not just solves/s): attach the committed
-    # multi-seed paired study (experiments/config4_quality.py — tail PE,
-    # decay-phase damping, K-quality gate at the config-4 shape).
+    # multi-seed paired frontier study (r5: experiments/config4_frontier.py
+    # supersedes r4's config4_quality.py — tail PE, solve rates, K gates,
+    # and the corrected-subsample detection-floor power law in one artifact).
     quality = None
-    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "artifacts", "results_r4", "config4_quality.json")
-    if os.path.exists(qpath):
-        with open(qpath) as f:
-            q = json.load(f)
-        quality = {"summary_tail_pe": {k: v["tail_pe_mean"]
-                                       for k, v in q["summary"].items()},
-                   "k_gate": q.get("k_gate"),
-                   "n_seeds": q["meta"]["n_seeds"],
-                   "artifact": "artifacts/results_r4/config4_quality.json"}
+    root = os.path.dirname(os.path.abspath(__file__))
+    for rel in ("artifacts/results_r5/config4_frontier.json",
+                "artifacts/results_r4/config4_quality.json"):
+        qpath = os.path.join(root, *rel.split("/"))
+        if os.path.exists(qpath):
+            with open(qpath) as f:
+                q = json.load(f)
+            quality = {"summary_tail_pe": {k: v["tail_pe_mean"]
+                                           for k, v in q["summary"].items()},
+                       "frontier": q.get("frontier", {}).get("reading"),
+                       "k_gate": q.get("k_gate"),
+                       "n_seeds": q["meta"]["n_seeds"],
+                       "artifact": rel}
+            break
     _emit("4-mpc-joint", res["solves_per_s"], "solves/s", K=4096, H=10,
           N=100_000, compile_s=round(res["compile_s"], 1),
+          closed_loop_quality=quality)
+
+    # The r5 twin-corrected subsampled planner: the best >=100-solves/s
+    # quality point on the committed frontier (tail PE 849 = 21x suppression
+    # at 121 solves/s, 9.3x better quality than the plain rate row above —
+    # results_r5/config4_frontier.json sub10000_K1024_corr).
+    mpc_corr = MPCConfig(horizon=10, n_candidates=1024, plan_particles=10000,
+                         plan_mesh=64, plan_correction="twin")
+    res_corr = mpc_solve_rate(st, grid, cfg, ctrl, mpc_corr, act, r1=2, r2=22)
+    _emit("4-mpc-corrected-subsample", res_corr["solves_per_s"], "solves/s",
+          K=1024, H=10, N=100_000, plan_particles=10000,
+          plan_correction="twin", compile_s=round(res_corr["compile_s"], 1),
           closed_loop_quality=quality)
 
     # The QUALITY-GATED config-4 controller of record (config4_quality.json,
