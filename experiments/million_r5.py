@@ -60,10 +60,36 @@ if __name__ == "__main__":
     # kernel; plan_chunk unnecessary (the plan state is 10k, not 1M)
     corr = dict(horizon=10, plan_modes=16, plan_particles=10000,
                 plan_correction="twin")
+    # full-fidelity planners: plan_chunk bounds the live K x 1M planes; the
+    # r4 "K>=512 exceeds one chip" blocker was launch size/time (config-4
+    # frontier, k1024_notes) — 50-step segments lift it. w_terminal=4.0
+    # matches the r4 rows exactly (the first wt-less fullfid_K384 attempt is
+    # kept in per_run as a wt0 data point).
+    full = dict(horizon=10, plan_modes=16, plan_chunk=16, w_terminal=4.0)
+    ctrl2 = ControlConfig(max_mode=8, coeff_min=-2.0, coeff_max=2.0)
+    # variants: (MPCConfig, ControlConfig override or None, n_seeds_cap)
     variants = {
-        "corr_sub10k_K1024": MPCConfig(n_candidates=1024, **corr),
-        # K gate at this scale: does K=1024 earn its 4x over K=256?
-        "corr_sub10k_K256": MPCConfig(n_candidates=256, **corr),
+        # MEASURED (this artifact): detection-floor-limited at N/n=100 —
+        # tails ~20-30k, 2.4x; the floor binds ABOVE full-fidelity quality,
+        # so estimator improvements cannot reach 10x at this n
+        "corr_sub10k_K1024": (MPCConfig(n_candidates=1024, **corr), None, 4),
+        "corr_sub10k_K256": (MPCConfig(n_candidates=256, **corr), None, 4),
+        # VERDICT #3 gate at 1M: full fidelity under the normalized default
+        # (no hand-scaled w_input; r4's rows hand-tuned raw w=0.5)
+        "fullfid_K384_wt4": (MPCConfig(n_candidates=384, **full), None, 4),
+        # r4's hand-tuned raw w=0.5 == normalized 0.0025 at N=1M: does the
+        # scale-free default under-drive here?
+        "fullfid_K384_wt4_wraw05": (MPCConfig(n_candidates=384,
+                                              w_input=0.0025, **full),
+                                    None, 2),
+        # the r4-flagged "strongest planner exceeds one chip" row, unblocked
+        "fullfid_K512_wt4": (MPCConfig(n_candidates=512, **full), None, 2),
+        # AUTHORITY probe (mechanism, VERDICT #2): double the drive bound —
+        # if suppression jumps, the 4.8x ceiling was authority-limited; if
+        # flat, the trapped (BGK) wave is dynamically robust to an 8-mode
+        # bounded drive and the committed negative identifies trapping
+        "fullfid_K384_wt4_cm2": (MPCConfig(n_candidates=384, **full),
+                                 ctrl2, 2),
     }
     if wanted:
         variants = {k: v for k, v in variants.items() if k in wanted}
@@ -102,9 +128,9 @@ if __name__ == "__main__":
         checkpoint()
         print(f"seed {s} uncontrolled: {row}", flush=True)
 
-    for name, mpc in variants.items():
+    for name, (mpc, ctrl_ov, seed_cap) in variants.items():
         rows = results.setdefault(name, [])
-        for s in range(n_seeds):
+        for s in range(min(n_seeds, seed_cap)):
             if any(r["seed"] == s for r in rows):
                 continue
             st = init_state(cfg, jax.random.PRNGKey(cfg.seed + s))
@@ -113,7 +139,7 @@ if __name__ == "__main__":
             # long-launch kill threshold AND the run is preemption-proof
             # (round-4 finding: one 500-step x 1M MPC launch kills the worker)
             _, traces = resumable_mpc_rollout(
-                st, grid, cfg, ctrl, mpc, act,
+                st, grid, cfg, ctrl_ov or ctrl, mpc, act,
                 jax.random.PRNGKey(cfg.seed + 100 + s),
                 ckpt_path=f"/tmp/m1r5_{name}_seed{s}", segment_steps=50)
             row = {**stats(traces["field_energy"], traces["input_energy"]),
