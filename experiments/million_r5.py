@@ -83,13 +83,18 @@ if __name__ == "__main__":
                                               w_input=0.0025, **full),
                                     None, 2),
         # the r4-flagged "strongest planner exceeds one chip" row, unblocked
-        "fullfid_K512_wt4": (MPCConfig(n_candidates=512, **full), None, 2),
+        # — at the 1M-gated w (0.0025 ⇔ raw 0.5; the normalized default
+        # measured 25-47k vs 7.5k at this w, rows above)
+        "fullfid_K512_wt4_wraw05": (MPCConfig(n_candidates=512,
+                                              w_input=0.0025, **full),
+                                    None, 2),
         # AUTHORITY probe (mechanism, VERDICT #2): double the drive bound —
-        # if suppression jumps, the 4.8x ceiling was authority-limited; if
-        # flat, the trapped (BGK) wave is dynamically robust to an 8-mode
-        # bounded drive and the committed negative identifies trapping
-        "fullfid_K384_wt4_cm2": (MPCConfig(n_candidates=384, **full),
-                                 ctrl2, 2),
+        # if suppression jumps, the ceiling was authority-limited; if flat,
+        # the trapped (BGK) wave is dynamically robust to an 8-mode bounded
+        # drive and the committed negative identifies trapping
+        "fullfid_K384_wt4_wraw05_cm2": (MPCConfig(n_candidates=384,
+                                                  w_input=0.0025, **full),
+                                        ctrl2, 2),
     }
     if wanted:
         variants = {k: v for k, v in variants.items() if k in wanted}
