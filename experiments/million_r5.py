@@ -81,7 +81,7 @@ if __name__ == "__main__":
         # scale-free default under-drive here?
         "fullfid_K384_wt4_wraw05": (MPCConfig(n_candidates=384,
                                               w_input=0.0025, **full),
-                                    None, 2),
+                                    None, 4),
         # the r4-flagged "strongest planner exceeds one chip" row, unblocked
         # — at the 1M-gated w (0.0025 ⇔ raw 0.5; the normalized default
         # measured 25-47k vs 7.5k at this w, rows above)
@@ -94,7 +94,7 @@ if __name__ == "__main__":
         # drive and the committed negative identifies trapping
         "fullfid_K384_wt4_wraw05_cm2": (MPCConfig(n_candidates=384,
                                                   w_input=0.0025, **full),
-                                        ctrl2, 2),
+                                        ctrl2, 4),
     }
     if wanted:
         variants = {k: v for k, v in variants.items() if k in wanted}
@@ -177,12 +177,41 @@ if __name__ == "__main__":
         json.dump({"meta": {
             "config": "two-stream N=1,000,000 M=256 max_mode=8 dt=0.1 t_max=50 "
                       "(BASELINE config-5 scale, ONE chip); env step scatter "
-                      "deposition, 50-step segmented rollouts; planners: "
+                      "deposition, 50-step segmented rollouts; corr_* = "
                       "twin-corrected subsampled spectral (plan 10,000 of 1M, "
-                      "stride 100, fused Pallas kernel at N_pad=10112), "
-                      "H=10/Km=16, engaged from t=0; r5 scale-free cost "
-                      "default (cost_pe_nref=5000, w_input=0.05 — no hand "
-                      "scaling, VERDICT r4 #3)",
+                      "fused Pallas kernel at N_pad=10112); fullfid_* = all "
+                      "1M particles, plan_chunk=16; H=10/Km=16 throughout, "
+                      "wt4 = w_terminal=4 (r4 parity)",
+            "findings": "(1) ESTIMATOR: the twin-corrected n=10k subsample "
+                      "is detection-floor-limited at N/n=100 — 2.4x, below "
+                      "full fidelity, so estimator improvements cannot carry "
+                      "this scale. (2) COST SCALE (VERDICT r4 #3 gate at 1M, "
+                      "FAILS): the scale-free default w_input=0.05 "
+                      "under-drives full-fidelity planning (tails 25-47k, "
+                      "IE~60) while w_input=0.0025 (== r4's hand raw 0.5) "
+                      "restores r4 quality (7.5-14.5k, IE~90): per-particle "
+                      "PE normalization is exact at 5k and gate-equal at "
+                      "100k but the OPTIMAL w still falls ~20x at 1M — the "
+                      "drive's cost-benefit ratio is physics, not units; "
+                      "documented, not hidden by a per-scale hand default. "
+                      "(3) PLANNER STRENGTH saturated: K=512 == K=384 "
+                      "(11.8k 2-seed vs 14.3k 4-seed, within the fat seed "
+                      "spread) — the r4 'strongest planner exceeds one "
+                      "chip' flag is closed by chunk+segments, and K was "
+                      "not the binding axis. "
+                      "(4) MECHANISM (VERDICT r4 #2): the ceiling is "
+                      "BOUNDED-DRIVE AUTHORITY, not trapping robustness — "
+                      "doubling the coeff bound to +-2 (cm2 rows, 4 seeds, "
+                      "paired) improves the tail 2.1x/3.6x/1.0x/4.9x per "
+                      "seed (mean 6.3k = 8.5x suppression, median 12.4x, "
+                      "3/4 seeds >=10x), with the drive riding its bound "
+                      "in both cases (IE ~196 vs ~91; rms drive field ~2.8 "
+                      "vs ~1.9 against a saturated wave field ~0.4). The "
+                      "reference-inherited +-1 8-mode actuator caps the "
+                      "one-chip controller of record at ~3.8-4.5x here "
+                      "(fullfid wraw05 / K512 rows); the residue is the "
+                      "actuator spec, not the planner, the estimator, or "
+                      "the chip.",
             "r4_reference": "results_r4/million_particle_control.json: "
                             "full-fidelity K384/Km16/H10 + hand-scaled "
                             "w_input=0.5 reached 4.8x at ~330 s/rollout "

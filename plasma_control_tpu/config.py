@@ -157,6 +157,15 @@ class MPCConfig:
     # unchanged by construction. None disables (raw plan PE, the pre-r5
     # behavior; the r4 config-4/1M artifacts used raw PE with hand-scaled
     # w_input).
+    # GATES (r5, artifacts/results_r5): N=5000 exact no-op; N=100k
+    # seed-paired equal to the r4 hand tuning (config4_frontier
+    # fullfid_K384: 113.9 vs 116.4 at w_input=0.05). At N=1M the
+    # normalization is NOT sufficient: the optimal w_input is a further
+    # ~20x lower (0.0025, == r4's hand raw 0.5 — million_r5.json rows
+    # fullfid_K384_wt4 25-47k vs _wraw05 7.5-14.5k). That residue is
+    # physics, not units — at 1M the cleaner wave demands more drive per
+    # unit of achievable suppression — so it is documented per-scale
+    # rather than absorbed into another hidden rescale.
     cost_pe_nref: Optional[float] = 5000.0
     # Dynamic fidelity guard for subsampled planning (active only when
     # plan_particles < N). Per solve, ON-DEVICE, compare the full state's
