@@ -525,3 +525,48 @@ class TestLearnedSuppression:
             assert tail_c < tail_frac * tail_u, (
                 f"tail PE {tail_c:.1f} not below {tail_frac} x uncontrolled {tail_u:.1f}"
             )
+
+    def test_committed_landau_dagger_actor_suppresses(self):
+        """r5 (VERDICT r4 #6): the committed landau actor must accelerate the
+        natural Landau damping closed-loop at the matrix landau config.
+        Threshold 25.0 sits above the measured healthy 8-seed tail spread
+        (4.7-14.4, artifacts/results_r5/matrix.json landau dagger) and below
+        the uncontrolled spread's minimum (54; uncontrolled mean ~100) — an
+        absolute gate only, like bump-on-tail: the naturally-damping case
+        makes any falsifiable per-seed fraction seed-fragile (measured
+        worst healthy pair 14.4/54.0 = 0.27)."""
+        import os
+
+        from plasma_control_tpu.control.evaluate import policy_rollout
+        from plasma_control_tpu.control.rl.ddpg import DDPGConfig, make_ddpg
+        from plasma_control_tpu.io.checkpoint import load_params
+        from plasma_control_tpu.models.pic import init_state
+        from plasma_control_tpu.models.rollout import rollout
+
+        path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                            "dagger_actor_landau.msgpack")
+        if not os.path.exists(path):
+            pytest.skip(f"committed actor missing: {path}")
+
+        cfg = SimConfig(simcase="landau", n_particles=2000, n_mesh=32, dt=0.1,
+                        t_max=15.0, perturb_amplitude=0.3, perturb_mode=2)
+        ctrl = ControlConfig(max_mode=3)
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act = make_actuator(cfg.length, cfg.n_mesh, ctrl.max_mode)
+        nets, ts = make_ddpg(
+            cfg, ctrl,
+            DDPGConfig(encoder="spectral",
+                       output_min=ctrl.coeff_min, output_max=ctrl.coeff_max),
+            jax.random.PRNGKey(cfg.seed + 7))
+        params = load_params(path, ts.actor_params)
+        action_fn = lambda s: nets.actor.sample(params, s[None])[0]
+
+        st = init_state(cfg, jax.random.PRNGKey(cfg.seed))
+        controlled = np.asarray(
+            policy_rollout(st, grid, cfg, act, action_fn,
+                           record_snapshots=False).field_energy
+        )
+        assert np.isfinite(controlled).all()
+        k = len(controlled) // 5
+        tail_c = controlled[-k:].mean()
+        assert tail_c < 25.0, f"tail PE {tail_c:.1f} >= 25.0"
