@@ -314,7 +314,6 @@ def main():
     # first solve).
     import dataclasses
     import hashlib
-    import os
     import subprocess
     import sys
 
