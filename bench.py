@@ -238,9 +238,10 @@ def main():
     # (8 sublanes x 128 lanes) x 4 SIMD units x 2 (FMA) x 0.94 GHz clock
     # = 7.7 TFLOP/s (clock from the 197 bf16 TFLOP/s MXU spec's derivation;
     # the VPU figure is a model, stated here so the ratio is auditable).
-    from plasma_control_tpu.ops.pallas.spectral_horizon import _kb_clamped
+    from plasma_control_tpu.ops.pallas.spectral_horizon import (
+        _kb_clamped, _round_up)
 
-    n_pad = -(-cfg.n_particles // 128) * 128
+    n_pad = _round_up(cfg.n_particles, 128)
     km, h, k_cand = mpc.plan_modes, mpc.horizon, mpc.n_candidates
     flops_solve = k_cand * n_pad * (h * (23.0 + 10.0 * km) + 8.0 * km)
     kb = _kb_clamped(n_pad, rot=True)

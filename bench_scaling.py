@@ -244,9 +244,17 @@ def config4():
             quality = {"summary_tail_pe": {k: v["tail_pe_mean"]
                                            for k, v in q["summary"].items()},
                        "frontier": q.get("frontier", {}).get("reading"),
-                       "k_gate": q.get("k_gate"),
                        "n_seeds": q["meta"]["n_seeds"],
                        "artifact": rel}
+            # the r4 artifact stores K-gate verdicts top-level; the r5
+            # frontier carries the K story in its summary rows + meta notes
+            # — only attach fields the artifact actually has (review
+            # finding r5: a blanket q.get("k_gate") emitted null on r5)
+            for extra_key, src in (("k_gate", q.get("k_gate")),
+                                   ("k1024_notes",
+                                    q.get("meta", {}).get("k1024_notes"))):
+                if src is not None:
+                    quality[extra_key] = src
             break
     _emit("4-mpc-joint", res["solves_per_s"], "solves/s", K=4096, H=10,
           N=100_000, compile_s=round(res["compile_s"], 1),
@@ -454,10 +462,18 @@ def slice_profile():
     r4 = mpc_solve_rate(st4, grid4, cfg4, ctrl4, mpc4, act4,
                         r1=2, r2=12 if virtual else 22, plan_fn=plan_fn)
     rate4 = r4["solves_per_s"]
-    exp4 = 21.2 * nd  # single-chip gated full-fid rate x devices
+    # K grows WITH the device count (384/device), so per-solve work per
+    # device is constant: linear weak scaling = the SOLVE rate stays at the
+    # single-chip 21.2 while the candidate throughput K_total*rate grows
+    # linearly (review finding r5: an earlier 21.2*nd expectation would have
+    # flagged a perfectly scaling slice as a failure)
+    exp4 = 21.2
     record("config4-fullfid-sharded", {
         "value": round(rate4, 2), "unit": "solves/s", "N": n4,
-        "K_total": k_per_dev * nd, "expected_if_linear": exp4,
+        "K_total": k_per_dev * nd, "expected_solve_rate_if_linear": exp4,
+        "candidate_throughput_per_s": (round(rate4 * k_per_dev * nd, 1)
+                                       if rate4 == rate4 else None),
+        "expected_candidate_throughput_if_linear": round(exp4 * 384 * nd, 1),
         "single_chip_reference": "SCALING_r04 4-mpc-joint-fullfid-gated 21.2",
     }, ok=virtual or (rate4 == rate4 and rate4 >= 0.5 * exp4))
 

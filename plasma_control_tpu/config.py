@@ -326,6 +326,19 @@ class MPCConfig:
     antithetic: bool = True
 
     def __post_init__(self):
+        if self.plan_correction == "twin" and self.n_grad_iters > 0:
+            # the gradient refinement differentiates the RAW plan cost, not
+            # the corrected one, while the fidelity guard is bypassed for
+            # twin configs — Adam would silently step the nominal toward
+            # cancelling phantom subsample noise with no safety net left
+            # (review finding r5). Thread twin targets into _gradient_refine
+            # before lifting this.
+            raise ValueError(
+                "plan_correction='twin' does not compose with gradient "
+                "refinement (n_grad_iters > 0): the refinement cost is the "
+                "uncorrected plan PE and would re-introduce the phantom "
+                "noise-cancellation drive the correction removes"
+            )
         if self.terminal_steps < 0:
             # a negative tail length flips the geometric series' sign and
             # silently turns the "growth" tail into a cost CREDIT that

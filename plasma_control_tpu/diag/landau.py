@@ -147,11 +147,14 @@ def damping_rate_decay_phase(ts, pe, floor_factor: float = 2.0) -> float:
     (VERDICT r3 weak #1). This fits log PE from the global PE peak to the
     first sample at or below ``floor_factor x`` the trace's floor (the
     minimum over the post-peak trace), i.e. the same decay phase the
-    reference's own usage fits. The window always terminates: the post-peak
-    minimum itself satisfies the floor test, so a trace that never really
-    decays just produces a short/degenerate window, which falls back to the
-    full-trace fit below (ADVICE r4: an earlier "never approaches its
-    floor" else-branch was unreachable for exactly this reason).
+    reference's own usage fits. For finite traces the window always
+    terminates (the post-peak minimum itself satisfies the floor test —
+    ADVICE r4: the old "never approaches its floor" reading of the fallback
+    was fiction); the ``len(below) == 0`` fallback below is reachable ONLY
+    for non-finite traces (a NaN floor makes every comparison False — e.g.
+    a diverged rollout fed to an experiment's stats()) or a caller passing
+    ``floor_factor < 1``, and falls back to the full-trace fit rather than
+    crashing mid-sweep (review finding r5).
     """
     ts = np.asarray(ts, dtype=np.float64)
     pe = np.asarray(pe, dtype=np.float64)
@@ -160,7 +163,8 @@ def damping_rate_decay_phase(ts, pe, floor_factor: float = 2.0) -> float:
     if len(post) < 3:
         i0, post = 0, pe
     floor = float(np.min(post))
-    i1 = i0 + int(np.nonzero(post <= floor_factor * floor)[0][0]) + 1
+    below = np.nonzero(post <= floor_factor * floor)[0]
+    i1 = i0 + int(below[0]) + 1 if len(below) else len(pe)
     if i1 - i0 < 3:  # degenerate window (e.g. monotone-flat trace)
         i0, i1 = 0, len(pe)
     return float(

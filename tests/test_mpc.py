@@ -94,9 +94,10 @@ class TestPlan:
                 st, cand, grid, cfg,
                 MPCConfig(horizon=5, plan_chunk=8, **base), act))
             np.testing.assert_allclose(chunked, full, rtol=1e-6, atol=1e-7)
-            # non-divisor chunk clamps DOWN to the largest divisor (7 -> 6
-            # for K=24): still exact — under shard_map this path sees the
-            # per-device local block, so a hard error would misfire there
+            # non-multiple chunk: the block is PADDED up to a chunk multiple
+            # (K=24 -> 28 at chunk 7) and the padded costs discarded — still
+            # exact; under shard_map this path sees the per-device local
+            # block, so a hard divisibility error would misfire there
             clamped = np.asarray(candidate_costs(
                 st, cand, grid, cfg,
                 MPCConfig(horizon=5, plan_chunk=7, **base), act))
@@ -923,3 +924,7 @@ class TestScaleFreeCost:
         c0 = np.asarray(candidate_costs(
             st, cand, grid, cfg, dc.replace(base, cost_pe_nref=None), act))
         np.testing.assert_allclose(c1, c0, rtol=1e-6)
+
+    def test_twin_rejects_gradient_refinement(self):
+        with pytest.raises(ValueError, match="gradient refinement"):
+            MPCConfig(plan_correction="twin", n_grad_iters=1)
