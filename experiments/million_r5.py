@@ -87,7 +87,7 @@ if __name__ == "__main__":
         # measured 25-47k vs 7.5k at this w, rows above)
         "fullfid_K512_wt4_wraw05": (MPCConfig(n_candidates=512,
                                               w_input=0.0025, **full),
-                                    None, 2),
+                                    None, 4),
         # AUTHORITY probe (mechanism, VERDICT #2): double the drive bound —
         # if suppression jumps, the ceiling was authority-limited; if flat,
         # the trapped (BGK) wave is dynamically robust to an 8-mode bounded
@@ -95,6 +95,13 @@ if __name__ == "__main__":
         "fullfid_K384_wt4_wraw05_cm2": (MPCConfig(n_candidates=384,
                                                   w_input=0.0025, **full),
                                         ctrl2, 4),
+        # third point on the authority curve: +-4 bounds — does suppression
+        # keep scaling with authority or saturate?
+        "fullfid_K384_wt4_wraw05_cm4": (MPCConfig(n_candidates=384,
+                                                  w_input=0.0025, **full),
+                                        ControlConfig(max_mode=8,
+                                                      coeff_min=-4.0,
+                                                      coeff_max=4.0), 4),
     }
     if wanted:
         variants = {k: v for k, v in variants.items() if k in wanted}
@@ -160,6 +167,7 @@ if __name__ == "__main__":
         rows.sort(key=lambda r: r["seed"])
         summary[name] = {
             "tail_pe_mean": round(float(np.mean([r["tail_pe"] for r in rows])), 2),
+            "n_seeds": len(rows),
             "tail_pe_per_seed": [r["tail_pe"] for r in rows],
             "peak_pe_per_seed": [r["peak_pe"] for r in rows],
             "wall_s_per_seed": [r.get("wall_s") for r in rows],
@@ -216,6 +224,10 @@ if __name__ == "__main__":
                             "full-fidelity K384/Km16/H10 + hand-scaled "
                             "w_input=0.5 reached 4.8x at ~330 s/rollout "
                             "(2 seeds); uncontrolled tail ~48-54k",
+            "row_notes": "fullfid_K384 (no wt suffix) is the superseded "
+                         "1-seed w_terminal=0 probe kept for provenance — "
+                         "the gate rows are the wt4 family; per-row seed "
+                         "counts are in summary.n_seeds",
             "n_seeds": n_seeds, "device": str(jax.devices()[0]),
         }, "summary": summary, "per_run": results}, f, indent=1)
     print("wrote", path)
