@@ -207,7 +207,7 @@ if __name__ == "__main__":
                       "spread) — the r4 'strongest planner exceeds one "
                       "chip' flag is closed by chunk+segments, and K was "
                       "not the binding axis. "
-                      "(4) MECHANISM (VERDICT r4 #2): the ceiling is "
+                      "(4) MECHANISM (VERDICT r4 #2): the first ceiling is "
                       "BOUNDED-DRIVE AUTHORITY, not trapping robustness — "
                       "doubling the coeff bound to +-2 (cm2 rows, 4 seeds, "
                       "paired) improves the tail 2.1x/3.6x/1.0x/4.9x per "
@@ -215,11 +215,15 @@ if __name__ == "__main__":
                       "3/4 seeds >=10x), with the drive riding its bound "
                       "in both cases (IE ~196 vs ~91; rms drive field ~2.8 "
                       "vs ~1.9 against a saturated wave field ~0.4). The "
+                      "curve then SATURATES: +-4 (cm4 rows, IE ~270) is "
+                      "paired-equal to +-2 (7.1k vs 6.3k, overlapping "
+                      "spreads) — past ~2x authority a planner/physics "
+                      "limit caps this N at tail ~6-7k. The "
                       "reference-inherited +-1 8-mode actuator caps the "
-                      "one-chip controller of record at ~3.8-4.5x here "
-                      "(fullfid wraw05 / K512 rows); the residue is the "
-                      "actuator spec, not the planner, the estimator, or "
-                      "the chip.",
+                      "one-chip controller of record at ~3.8-5.0x here "
+                      "(fullfid wraw05 / K512 rows); the first-order "
+                      "residue is the actuator spec, not the planner "
+                      "(K512==K384), the estimator, or the chip.",
             "r4_reference": "results_r4/million_particle_control.json: "
                             "full-fidelity K384/Km16/H10 + hand-scaled "
                             "w_input=0.5 reached 4.8x at ~330 s/rollout "
