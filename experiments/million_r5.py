@@ -102,6 +102,17 @@ if __name__ == "__main__":
                                         ControlConfig(max_mode=8,
                                                       coeff_min=-4.0,
                                                       coeff_max=4.0), 4),
+        # WAVENUMBER-authority probe: +-4 saturated at the +-2 level, so the
+        # second limit is not drive AMPLITUDE — is it the actuated band?
+        # 16 actuated modes at +-2 bounds (plan_modes=32 so the plan model
+        # still sees harmonics above the actuated band — the r4 Km==max_mode
+        # blindness lesson). If tails drop below the cm2 plateau, the limit
+        # is spatial-structure authority (detrapping needs k's the 8-mode
+        # drive lacks); if flat, it is the planner/horizon itself.
+        "fullfid_K384_wt4_wraw05_cm2_mm16": (
+            MPCConfig(n_candidates=384, w_input=0.0025, horizon=10,
+                      plan_modes=32, plan_chunk=16, w_terminal=4.0),
+            ControlConfig(max_mode=16, coeff_min=-2.0, coeff_max=2.0), 4),
     }
     if wanted:
         variants = {k: v for k, v in variants.items() if k in wanted}
