@@ -158,11 +158,15 @@ if __name__ == "__main__":
                 continue
             st = init_state(cfg, jax.random.PRNGKey(cfg.seed + s))
             t0 = time.perf_counter()
+            # per-variant actuator: a ControlConfig override may change the
+            # actuated mode count (mm16 probe) — the actuator must match it
+            act_v = act if ctrl_ov is None or ctrl_ov.max_mode == ctrl.max_mode \
+                else make_actuator(cfg.length, cfg.n_mesh, ctrl_ov.max_mode)
             # 50-step segments: each launch stays well under the attachment's
             # long-launch kill threshold AND the run is preemption-proof
             # (round-4 finding: one 500-step x 1M MPC launch kills the worker)
             _, traces = resumable_mpc_rollout(
-                st, grid, cfg, ctrl_ov or ctrl, mpc, act,
+                st, grid, cfg, ctrl_ov or ctrl, mpc, act_v,
                 jax.random.PRNGKey(cfg.seed + 100 + s),
                 ckpt_path=f"/tmp/m1r5_{name}_seed{s}", segment_steps=50)
             row = {**stats(traces["field_energy"], traces["input_energy"]),

@@ -1057,6 +1057,17 @@ def plan(
             )
         mpc = dataclasses.replace(mpc, plan_kernel="xla")
 
+    if mean.shape[-1] != 2 * actuator.max_mode:
+        # a ctrl/actuator mode mismatch otherwise surfaces deep in the
+        # spectral cost as a cryptic broadcast error (review finding r5:
+        # an actuator built with a different max_mode than the ControlConfig
+        # driving the rollout)
+        raise ValueError(
+            f"coefficient/actuator mode mismatch: the nominal carries "
+            f"{mean.shape[-1] // 2} modes but the actuator was built with "
+            f"max_mode={actuator.max_mode} — build the actuator with the "
+            "same ControlConfig.max_mode as the rollout"
+        )
     full_x, full_cfg = state.x, cfg
     # Multi-fidelity: candidate rollouts may run on a reduced model.
     state, grid, cfg = _plan_model(state, grid, cfg, mpc)

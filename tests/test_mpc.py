@@ -928,3 +928,17 @@ class TestScaleFreeCost:
     def test_twin_rejects_gradient_refinement(self):
         with pytest.raises(ValueError, match="gradient refinement"):
             MPCConfig(plan_correction="twin", n_grad_iters=1)
+
+    def test_plan_rejects_actuator_mode_mismatch(self):
+        """An actuator built with a different max_mode than the rollout's
+        ControlConfig must fail with a clear message, not a deep broadcast
+        error (review finding r5)."""
+        cfg = tiny_cfg()
+        grid = make_grid(cfg.n_mesh, cfg.length)
+        act8 = make_actuator(cfg.length, cfg.n_mesh, 8)
+        ctrl16 = ControlConfig(max_mode=16)
+        st = init_state(cfg, jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="mode mismatch"):
+            plan(st, jnp.zeros((4, 32)), jnp.asarray(0.3),
+                 jax.random.PRNGKey(1), grid, cfg, ctrl16,
+                 MPCConfig(horizon=4, n_candidates=8), act8)
