@@ -109,10 +109,13 @@ if __name__ == "__main__":
         # blindness lesson). If tails drop below the cm2 plateau, the limit
         # is spatial-structure authority (detrapping needs k's the 8-mode
         # drive lacks); if flat, it is the planner/horizon itself.
+        # Km=32 doubles the per-solve work, so 50-step segments crossed the
+        # attachment's launch-kill threshold (worker crash, 2026-08-21) —
+        # 25-step segments keep each launch at the measured-safe length
         "fullfid_K384_wt4_wraw05_cm2_mm16": (
             MPCConfig(n_candidates=384, w_input=0.0025, horizon=10,
                       plan_modes=32, plan_chunk=16, w_terminal=4.0),
-            ControlConfig(max_mode=16, coeff_min=-2.0, coeff_max=2.0), 4),
+            ControlConfig(max_mode=16, coeff_min=-2.0, coeff_max=2.0), 4, 25),
     }
     if wanted:
         variants = {k: v for k, v in variants.items() if k in wanted}
@@ -151,7 +154,9 @@ if __name__ == "__main__":
         checkpoint()
         print(f"seed {s} uncontrolled: {row}", flush=True)
 
-    for name, (mpc, ctrl_ov, seed_cap) in variants.items():
+    for name, spec in variants.items():
+        mpc, ctrl_ov, seed_cap = spec[:3]
+        seg_steps = spec[3] if len(spec) > 3 else 50
         rows = results.setdefault(name, [])
         for s in range(min(n_seeds, seed_cap)):
             if any(r["seed"] == s for r in rows):
@@ -168,7 +173,7 @@ if __name__ == "__main__":
             _, traces = resumable_mpc_rollout(
                 st, grid, cfg, ctrl_ov or ctrl, mpc, act_v,
                 jax.random.PRNGKey(cfg.seed + 100 + s),
-                ckpt_path=f"/tmp/m1r5_{name}_seed{s}", segment_steps=50)
+                ckpt_path=f"/tmp/m1r5_{name}_seed{s}", segment_steps=seg_steps)
             row = {**stats(traces["field_energy"], traces["input_energy"]),
                    "seed": s, "wall_s": round(time.perf_counter() - t0, 1)}
             rows.append(row)
