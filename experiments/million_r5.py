@@ -235,15 +235,20 @@ if __name__ == "__main__":
                       "3/4 seeds >=10x), with the drive riding its bound "
                       "in both cases (IE ~196 vs ~91; rms drive field ~2.8 "
                       "vs ~1.9 against a saturated wave field ~0.4). The "
-                      "curve then SATURATES: +-4 (cm4 rows, IE ~270) is "
-                      "paired-equal to +-2 (7.1k vs 6.3k, overlapping "
-                      "spreads) — past ~2x authority a planner/physics "
-                      "limit caps this N at tail ~6-7k. The "
+                      "AMPLITUDE curve then SATURATES: +-4 (cm4 rows, IE "
+                      "~270) is paired-equal to +-2 (7.1k vs 6.3k) — and "
+                      "the second constraint is WAVENUMBER authority: 16 "
+                      "actuated modes at +-2 (mm16 rows, plan_modes=32) "
+                      "reach tail 3.6k = 14.8x mean / per-seed 8.7-35x "
+                      "(>=10x on 3/4 seeds at the 4-seed standard) — "
+                      "detrapping the cleaner 1M wave needs spatial "
+                      "structure above the 8 actuated modes. Summary: the "
                       "reference-inherited +-1 8-mode actuator caps the "
                       "one-chip controller of record at ~3.8-5.0x here "
-                      "(fullfid wraw05 / K512 rows); the first-order "
-                      "residue is the actuator spec, not the planner "
-                      "(K512==K384), the estimator, or the chip.",
+                      "(fullfid wraw05 / K512 rows); the residue is the "
+                      "actuator spec — quantified along both its axes — "
+                      "not the planner (K512==K384), the estimator, or "
+                      "the chip.",
             "r4_reference": "results_r4/million_particle_control.json: "
                             "full-fidelity K384/Km16/H10 + hand-scaled "
                             "w_input=0.5 reached 4.8x at ~330 s/rollout "
