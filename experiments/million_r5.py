@@ -57,9 +57,12 @@ if __name__ == "__main__":
     ts = np.linspace(0, cfg.t_max, cfg.n_steps)
 
     # corrected-subsampled planners: n=10,000 of 1M (stride 100) on the fused
-    # kernel; plan_chunk unnecessary (the plan state is 10k, not 1M)
+    # kernel; plan_chunk unnecessary (the plan state is 10k, not 1M).
+    # fidelity_guard=False reproduces the committed rows exactly under the
+    # final r5 semantics (they first ran when "twin" bypassed the guard
+    # unconditionally; see config4_frontier.py for the rationale).
     corr = dict(horizon=10, plan_modes=16, plan_particles=10000,
-                plan_correction="twin")
+                plan_correction="twin", fidelity_guard=False)
     # full-fidelity planners: plan_chunk bounds the live K x 1M planes; the
     # r4 "K>=512 exceeds one chip" blocker was launch size/time (config-4
     # frontier, k1024_notes) — 50-step segments lift it. w_terminal=4.0

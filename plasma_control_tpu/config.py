@@ -138,10 +138,19 @@ class MPCConfig:
     # For a pure-noise mode (lambda=0) the zero-drive candidate costs 0 and
     # any drive ADDS cost (the CRN difference is the drive effect alone); for
     # a coherent mode (lambda=1) the cost is unchanged. At full fidelity the
-    # correction is inactive (identical program). The dynamic fidelity guard
-    # below is bypassed when this is active — the corrected cost is
-    # noise-safe by construction, and zeroing the drive would disable the
-    # controller exactly in the regime the correction handles.
+    # correction is inactive (identical program).
+    # WHAT IT DOES AND DOES NOT FIX (measured, r5): it removes the
+    # in-model PHANTOM-target profit — the hazard above — which at strong
+    # signal (config-4 two-stream) breaks the subsampled planner's plateau
+    # 9x (results_r5/config4_frontier.json). It does NOT supply the phase
+    # of a marginally-detected real signal: on a never-coherent quiet
+    # plasma the lambda-weighted drive is still mis-phased and pumps
+    # mildly (reference-scale bump-on-tail: corrected-unguarded 131.7 vs
+    # 36.7 uncontrolled vs 186.2 uncorrected-unguarded —
+    # results_r5/corrected_reference_scale.json). The fidelity guard
+    # therefore stays armed with the correction; deep-suppression runs at
+    # large N opt out explicitly (fidelity_guard=False) to drive below the
+    # guard threshold — an informed tradeoff with the correction active.
     # Cost: one extra (uncandidated) H-step plan rollout + one O(N*Km) pass
     # per solve — negligible next to the K x H candidate block.
     plan_correction: Literal["none", "twin"] = "none"

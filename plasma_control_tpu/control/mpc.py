@@ -1003,13 +1003,20 @@ def _apply_fidelity_guard(plan_out, full_x, full_cfg, ctrl, mpc):
     # arm only when the stride arithmetic ACTUALLY drops particles — for
     # plan_particles in (N/2, N) the stride is 1, planning is full fidelity,
     # and zeroing the drive on fictitious injected noise would silently
-    # disable the controller (review finding 2026-08-20). With the twin
-    # correction active the guard is bypassed entirely: the corrected cost
-    # removes the in-model noise-cancellation profit the guard exists to
-    # contain, and zeroing the drive would disable the controller exactly in
-    # the quiet regime the correction makes safe (MPCConfig.plan_correction).
-    if mpc.plan_correction == "twin":
-        return plan_out
+    # disable the controller (review finding 2026-08-20). The guard stays
+    # armed even with the twin correction (an early r5 build bypassed it):
+    # the correction removes the in-model PHANTOM-target profit, but the
+    # drive's PHASE still comes from the subsample's noisy phasor, and on a
+    # never-coherent quiet plasma that mis-phased drive pumps — measured at
+    # reference scale: corrected-unguarded bump-on-tail tail PE 131.7 vs
+    # 36.7 uncontrolled at 8 seeds (better than uncorrected-unguarded's
+    # 186.2, still pumping — results_r5/corrected_reference_scale.json).
+    # The guard's coherent/injected ratio measures exactly the phase
+    # detectability the correction cannot supply. Deep-suppression runs at
+    # large N that deliberately drive below the guard threshold (the
+    # config-4 frontier's corrected rows) set fidelity_guard=False
+    # explicitly — with the correction active that is an informed tradeoff,
+    # not the silent hazard it is without it.
     if not (mpc.fidelity_guard and _plan_frac(full_cfg, mpc) < 1.0):
         return plan_out
     safe = _fidelity_ratio(full_x, full_cfg, ctrl, mpc) >= mpc.fidelity_guard_ratio

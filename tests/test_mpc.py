@@ -834,10 +834,13 @@ class TestTwinCorrection:
         assert np.corrcoef(r0, r1)[0, 1] > 0.95
 
     def test_corrected_subsampled_does_not_pump_quiet_plasma(self):
-        """THE hazard case with the guard replaced by the correction: the
-        closed loop may drive, but must not pump the quiet plasma above
-        uncontrolled levels (the uncorrected/unguarded planner pumps ~10x,
-        DEVNOTES 2026-08-19)."""
+        """THE hazard case under the final r5 semantics (correction + guard
+        BOTH armed — the default): the closed loop must not pump the quiet
+        plasma above uncontrolled levels. The guard supplies the phase-
+        detectability gate the correction cannot (measured: corrected-
+        UNguarded still pumps mildly at reference scale, 131.7 vs 36.7 —
+        results_r5/corrected_reference_scale.json); the uncorrected/
+        unguarded planner pumps ~10x (DEVNOTES 2026-08-19)."""
         cfg = SimConfig(simcase="bump-on-tail", n_particles=2000, n_mesh=32,
                         dt=0.1, t_max=6.0, length=50.0)
         ctrl = ControlConfig(max_mode=2)
