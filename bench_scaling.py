@@ -261,9 +261,10 @@ def config4():
           closed_loop_quality=quality)
 
     # The r5 twin-corrected subsampled planner: the best >=100-solves/s
-    # quality point on the committed frontier (tail PE 849 = 21x suppression
-    # at 121 solves/s, 9.3x better quality than the plain rate row above —
-    # results_r5/config4_frontier.json sub10000_K1024_corr).
+    # quality point on the committed frontier — default (guarded) semantics
+    # land tail PE 2196 = 8.3x; the informed guard opt-out
+    # (fidelity_guard=False) lands 849 = 21x at the same ~121 solves/s
+    # (results_r5/config4_frontier.json sub10000_K1024_corr[_guarded]).
     mpc_corr = MPCConfig(horizon=10, n_candidates=1024, plan_particles=10000,
                          plan_mesh=64, plan_correction="twin")
     res_corr = mpc_solve_rate(st, grid, cfg, ctrl, mpc_corr, act, r1=2, r2=22)

@@ -337,11 +337,10 @@ class MPCConfig:
     def __post_init__(self):
         if self.plan_correction == "twin" and self.n_grad_iters > 0:
             # the gradient refinement differentiates the RAW plan cost, not
-            # the corrected one, while the fidelity guard is bypassed for
-            # twin configs — Adam would silently step the nominal toward
-            # cancelling phantom subsample noise with no safety net left
-            # (review finding r5). Thread twin targets into _gradient_refine
-            # before lifting this.
+            # the corrected one — Adam would silently step the nominal
+            # toward cancelling phantom subsample noise that the sampling
+            # stage just priced out (review finding r5). Thread twin targets
+            # into _gradient_refine before lifting this.
             raise ValueError(
                 "plan_correction='twin' does not compose with gradient "
                 "refinement (n_grad_iters > 0): the refinement cost is the "
